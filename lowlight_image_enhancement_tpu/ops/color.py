@@ -1,0 +1,203 @@
+"""Color science primitives (pure JAX, NHWC): sRGB EOTF, RGB->Lab, CIEDE2000.
+
+Replaces the reference's Kornia dependency (``rgb_to_lab`` D65/2 degree) and
+reimplements the full Sharma-2005 CIEDE2000 formula used by both the
+differentiable loss (reference ``NewBP_model/losses.py:92-143``) and the
+evaluation metric (``metrics/color_error.py:104-210``). Validated against
+the published Sharma CIEDE2000 test pairs (see
+``tests/data/ciede2000_pairs.json``).
+
+All functions are dtype-polymorphic (float32 by default; float64 when
+``jax_enable_x64`` and inputs are float64) and jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# D65 reference white (2 degree observer), CIE XYZ scaled to Y=1.
+_D65_WHITE = (0.95047, 1.0, 1.08883)
+
+# sRGB -> XYZ (D65) matrix, IEC 61966-2-1.
+_RGB2XYZ = (
+    (0.412453, 0.357580, 0.180423),
+    (0.212671, 0.715160, 0.072169),
+    (0.019334, 0.119193, 0.950227),
+)
+
+
+def srgb_to_linear(x: Array) -> Array:
+    """sRGB electro-optical transfer: gamma-encoded [0,1] -> linear [0,1]."""
+    x = jnp.asarray(x)
+    return jnp.where(
+        x > 0.04045,
+        jnp.power(jnp.clip((x + 0.055) / 1.055, min=1e-12), 2.4),
+        x / 12.92,
+    )
+
+
+def linear_to_srgb(x: Array) -> Array:
+    """Linear [0,1] -> gamma-encoded sRGB [0,1] (the OETF)."""
+    x = jnp.asarray(x)
+    return jnp.where(
+        x > 0.0031308,
+        1.055 * jnp.power(jnp.clip(x, min=1e-12), 1.0 / 2.4) - 0.055,
+        12.92 * x,
+    )
+
+
+def rgb_to_xyz(rgb: Array) -> Array:
+    """Gamma-encoded sRGB [0,1] NHWC (or [...,3]) -> CIE XYZ (D65)."""
+    lin = srgb_to_linear(jnp.asarray(rgb))
+    m = jnp.asarray(_RGB2XYZ, dtype=lin.dtype)
+    return jnp.einsum("...c,dc->...d", lin, m)
+
+
+def _lab_f(t: Array) -> Array:
+    """CIE Lab forward nonlinearity with the linear low-light segment."""
+    delta = 6.0 / 29.0
+    return jnp.where(
+        t > delta**3,
+        jnp.cbrt(jnp.clip(t, min=1e-12)),
+        t / (3.0 * delta**2) + 4.0 / 29.0,
+    )
+
+
+def rgb_to_lab(rgb: Array) -> Array:
+    """Gamma-encoded sRGB [0,1] ``[..., 3]`` -> CIE Lab (D65/2deg).
+
+    Matches Kornia's ``rgb_to_lab`` convention (the reference's Lab source
+    for both DeltaE00 loss and metric): input is *sRGB-encoded*, internally
+    linearized, XYZ normalized by D65 white.
+    """
+    xyz = rgb_to_xyz(rgb)
+    white = jnp.asarray(_D65_WHITE, dtype=xyz.dtype)
+    xyz_n = xyz / white
+    f = _lab_f(xyz_n)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([L, a, b], axis=-1)
+
+
+def _safe_sqrt(x: Array, eps: float = 1e-12) -> Array:
+    """sqrt with clamped argument — keeps gradients finite at 0 (the
+    reference's eps-smoothed sqrt, ``losses.py:92-143``)."""
+    return jnp.sqrt(jnp.clip(x, min=eps))
+
+
+def ciede2000_lab(
+    lab1: Array, lab2: Array, eps: float = 1e-12
+) -> Array:
+    """CIEDE2000 color difference between Lab triplets ``[..., 3]``.
+
+    Full Sharma-2005 formula (kL = kC = kH = 1) in radians, vectorized,
+    with the published special-case branch logic for hue differences and
+    hue means, and eps-smoothed square roots so the expression is
+    differentiable (used as a loss) while matching the reference metric
+    (``metrics/color_error.py:104-210``) to float32 precision.
+    """
+    L1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
+    L2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+
+    C1 = _safe_sqrt(a1 * a1 + b1 * b1, eps)
+    C2 = _safe_sqrt(a2 * a2 + b2 * b2, eps)
+    C_bar = 0.5 * (C1 + C2)
+    C_bar7 = C_bar**7
+    G = 0.5 * (1.0 - _safe_sqrt(C_bar7 / (C_bar7 + 25.0**7), eps))
+
+    a1p = (1.0 + G) * a1
+    a2p = (1.0 + G) * a2
+    C1p = _safe_sqrt(a1p * a1p + b1 * b1, eps)
+    C2p = _safe_sqrt(a2p * a2p + b2 * b2, eps)
+
+    # Hue angles in [0, 2pi). atan2(0,0) == 0 per the spec.
+    two_pi = 2.0 * jnp.pi
+    h1p = jnp.mod(jnp.arctan2(b1, a1p), two_pi)
+    h2p = jnp.mod(jnp.arctan2(b2, a2p), two_pi)
+
+    dLp = L2 - L1
+    dCp = C2p - C1p
+
+    # Hue difference (Sharma eq. 10): branch on |h2'-h1'| and sign.
+    dh = h2p - h1p
+    dh = jnp.where(dh > jnp.pi, dh - two_pi, dh)
+    dh = jnp.where(dh < -jnp.pi, dh + two_pi, dh)
+    # If either chroma is (numerically) zero the hue difference is 0.
+    chroma_zero = (C1p * C2p) < 1e-8
+    dh = jnp.where(chroma_zero, 0.0, dh)
+    dHp = 2.0 * _safe_sqrt(C1p * C2p, eps) * jnp.sin(dh / 2.0)
+
+    Lp_bar = 0.5 * (L1 + L2)
+    Cp_bar = 0.5 * (C1p + C2p)
+
+    # Mean hue (Sharma eq. 14) with wraparound branch.
+    h_sum = h1p + h2p
+    h_abs_diff = jnp.abs(h1p - h2p)
+    hp_bar = jnp.where(
+        h_abs_diff > jnp.pi,
+        jnp.where(h_sum < two_pi, (h_sum + two_pi) / 2.0, (h_sum - two_pi) / 2.0),
+        h_sum / 2.0,
+    )
+    hp_bar = jnp.where(chroma_zero, h_sum, hp_bar)
+
+    T = (
+        1.0
+        - 0.17 * jnp.cos(hp_bar - jnp.pi / 6.0)
+        + 0.24 * jnp.cos(2.0 * hp_bar)
+        + 0.32 * jnp.cos(3.0 * hp_bar + jnp.pi / 30.0)
+        - 0.20 * jnp.cos(4.0 * hp_bar - 63.0 * jnp.pi / 180.0)
+    )
+
+    d_theta = (jnp.pi / 6.0) * jnp.exp(
+        -(((hp_bar * 180.0 / jnp.pi - 275.0) / 25.0) ** 2)
+    )
+    Cp_bar7 = Cp_bar**7
+    R_C = 2.0 * _safe_sqrt(Cp_bar7 / (Cp_bar7 + 25.0**7), eps)
+    R_T = -jnp.sin(2.0 * d_theta) * R_C
+
+    Lm50sq = (Lp_bar - 50.0) ** 2
+    S_L = 1.0 + 0.015 * Lm50sq / _safe_sqrt(20.0 + Lm50sq, eps)
+    S_C = 1.0 + 0.045 * Cp_bar
+    S_H = 1.0 + 0.015 * Cp_bar * T
+
+    dE = _safe_sqrt(
+        (dLp / S_L) ** 2
+        + (dCp / S_C) ** 2
+        + (dHp / S_H) ** 2
+        + R_T * (dCp / S_C) * (dHp / S_H),
+        eps,
+    )
+    return dE
+
+
+def deltaE2000_rgb(rgb1: Array, rgb2: Array) -> Array:
+    """Per-pixel CIEDE2000 map between sRGB [0,1] NHWC images ``[N,H,W,3]``.
+
+    Returns ``[N, H, W]``. Differentiable; used by both the DeltaE00 loss
+    and the evaluation metric.
+    """
+    return ciede2000_lab(rgb_to_lab(rgb1), rgb_to_lab(rgb2))
+
+
+def sobel_magnitude(x: Array) -> Array:
+    """Sobel gradient magnitude of a single-channel map ``[N, H, W]``.
+
+    Used for the edge-DeltaE00 metric (reference
+    ``metrics/color_error.py:304-344``): Sobel on Lab-L with replicate
+    padding, magnitude = sqrt(gx^2 + gy^2).
+    """
+    x4 = x[..., None]  # [N,H,W,1]
+    kx = jnp.asarray(
+        [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=x.dtype
+    )
+    ky = kx.T
+    from lowlight_image_enhancement_tpu.ops.psf import depthwise_conv
+
+    gx = depthwise_conv(x4, kx[None], padding="replicate")[..., 0]
+    gy = depthwise_conv(x4, ky[None], padding="replicate")[..., 0]
+    return jnp.sqrt(gx * gx + gy * gy + 1e-12)
