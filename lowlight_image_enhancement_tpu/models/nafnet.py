@@ -1,0 +1,218 @@
+"""NAFNet restoration backbone — Flax/NHWC, bf16-ready, MXU-friendly.
+
+TPU-native rebuild of the reference architecture
+(``NAFNet_base/basicsr/models/archs/NAFNet_arch.py:22-174``):
+
+- :class:`SimpleGate` — channel-halved elementwise product.
+- :class:`NAFBlock` — LN -> 1x1 conv (c->2c) -> 3x3 depthwise -> SimpleGate
+  -> SCA (global-mean + 1x1) -> 1x1 conv, then LN -> 1x1 (c->2c) ->
+  SimpleGate -> 1x1 FFN; residual scales ``beta``/``gamma`` zero-initialized.
+- :class:`NAFNet` — U-shape: 3x3 intro, per-scale encoder stacks with 2x2
+  stride-2 conv downs, middle stack, decoder stacks with (1x1 conv no-bias
+  + PixelShuffle x2) ups and skip-adds, 3x3 ending, global input residual,
+  pad-to-multiple-of-2^depth then crop.
+
+TPU design notes:
+- NHWC layout: the 1x1 convs (where the FLOPs are) lower to
+  ``[N*H*W, C] x [C, C']`` matmuls on the MXU; channels-last keeps them
+  layout-native with zero transposes.
+- ``dtype`` controls compute/activation dtype (use ``jnp.bfloat16`` for
+  training); params stay float32 (``param_dtype``).
+- LayerNorm uses the analytic custom-VJP channel-LN op
+  (:func:`...ops.layernorm.layer_norm_2d`), computed in fp32 regardless of
+  activation dtype.
+- PixelShuffle uses the torch channel ordering ``(c, r, r)`` so torch
+  checkpoints can be converted 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lowlight_image_enhancement_tpu.ops.layernorm import layer_norm_2d
+from lowlight_image_enhancement_tpu.utils.registry import ARCH_REGISTRY
+
+Array = jax.Array
+
+
+class LayerNorm2d(nn.Module):
+    """Per-pixel channel LayerNorm with learnable affine (fp32 math)."""
+
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return layer_norm_2d(x, w, b, self.eps)
+
+
+def simple_gate(x: Array) -> Array:
+    """Channel-chunk(2) elementwise product (reference ``SimpleGate``)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2
+
+
+class SimpleGate(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return simple_gate(x)
+
+
+def pixel_shuffle(x: Array, r: int = 2) -> Array:
+    """NHWC pixel shuffle with torch channel ordering ``(c, r1, r2)``."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r1, w, r2, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+class NAFBlock(nn.Module):
+    """The NAFNet block (reference ``NAFNet_arch.py:27-80``)."""
+
+    features: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        c = self.features
+        dw = c * self.dw_expand
+        conv = lambda feat, k, name, use_bias=True, grouped=False: nn.Conv(
+            features=feat,
+            kernel_size=(k, k),
+            padding="SAME" if k > 1 else "VALID",
+            use_bias=use_bias,
+            feature_group_count=feat if grouped else 1,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+
+        inp = x
+        y = LayerNorm2d(c, name="norm1")(x).astype(self.dtype)
+        y = conv(dw, 1, "conv1")(y)
+        y = conv(dw, 3, "conv2", grouped=True)(y)  # 3x3 depthwise
+        y = simple_gate(y)
+        # Simplified Channel Attention: global mean -> 1x1 -> scale
+        att = jnp.mean(y, axis=(1, 2), keepdims=True)
+        att = conv(dw // 2, 1, "sca_conv")(att)
+        y = y * att
+        y = conv(c, 1, "conv3")(y)
+        if self.dropout_rate > 0.0:
+            y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        z = inp + y * beta.astype(self.dtype)
+
+        y = LayerNorm2d(c, name="norm2")(z).astype(self.dtype)
+        y = conv(c * self.ffn_expand, 1, "conv4")(y)
+        y = simple_gate(y)
+        y = conv(c, 1, "conv5")(y)
+        if self.dropout_rate > 0.0:
+            y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        return z + y * gamma.astype(self.dtype)
+
+
+@ARCH_REGISTRY.register()
+class NAFNet(nn.Module):
+    """U-shaped NAFNet (reference ``NAFNet_arch.py:83-162``).
+
+    SID config: ``width=32, enc_blk_nums=(2,2,4,8), middle_blk_num=12,
+    dec_blk_nums=(2,2,2,2)`` — 36 NAFBlocks over 4 scales.
+    """
+
+    img_channel: int = 3
+    width: int = 16
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = ()
+    dec_blk_nums: Sequence[int] = ()
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @property
+    def padder_size(self) -> int:
+        return 2 ** len(self.enc_blk_nums)
+
+    @nn.compact
+    def __call__(self, inp: Array, *, deterministic: bool = True) -> Array:
+        n, h, w, c_in = inp.shape
+        inp = self._pad_to_multiple(inp)  # padded input is also the residual
+        x = inp
+
+        conv = lambda feat, k, name, use_bias=True, strides=1: nn.Conv(
+            features=feat,
+            kernel_size=(k, k),
+            strides=(strides, strides),
+            padding="SAME" if (k > 1 and strides == 1) else "VALID",
+            use_bias=use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+
+        x = conv(self.width, 3, "intro")(x.astype(self.dtype))
+
+        skips = []
+        chan = self.width
+        for si, num in enumerate(self.enc_blk_nums):
+            for bi in range(num):
+                x = NAFBlock(
+                    chan,
+                    self.dw_expand,
+                    self.ffn_expand,
+                    self.dropout_rate,
+                    self.dtype,
+                    name=f"enc{si}_blk{bi}",
+                )(x, deterministic=deterministic)
+            skips.append(x)
+            x = conv(2 * chan, 2, f"down{si}", strides=2)(x)
+            chan *= 2
+
+        for bi in range(self.middle_blk_num):
+            x = NAFBlock(
+                chan,
+                self.dw_expand,
+                self.ffn_expand,
+                self.dropout_rate,
+                self.dtype,
+                name=f"mid_blk{bi}",
+            )(x, deterministic=deterministic)
+
+        for si, num in enumerate(self.dec_blk_nums):
+            x = conv(2 * chan, 1, f"up{si}", use_bias=False)(x)
+            x = pixel_shuffle(x, 2)
+            chan //= 2
+            x = x + skips[-(si + 1)]
+            for bi in range(num):
+                x = NAFBlock(
+                    chan,
+                    self.dw_expand,
+                    self.ffn_expand,
+                    self.dropout_rate,
+                    self.dtype,
+                    name=f"dec{si}_blk{bi}",
+                )(x, deterministic=deterministic)
+
+        x = conv(self.img_channel, 3, "ending")(x)
+        x = x + inp.astype(self.dtype)
+        return x[:, :h, :w, :].astype(jnp.float32)
+
+    def _pad_to_multiple(self, x: Array) -> Array:
+        m = self.padder_size
+        h, w = x.shape[1], x.shape[2]
+        ph = (m - h % m) % m
+        pw = (m - w % m) % m
+        if ph == 0 and pw == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
