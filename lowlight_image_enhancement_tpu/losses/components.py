@@ -1,0 +1,157 @@
+"""Composite loss components: perceptual, SSIM, DeltaE00, physics terms.
+
+Rebuild of ``NewBP_model/losses.py:32-220``:
+
+- :class:`PerceptualLoss` — frozen VGG19 relu5_4 features, ImageNet
+  normalization, MSE (or L1) on features (``losses.py:32-69``).
+- :class:`SSIMLoss` — DSSIM ``(1 - SSIM)/2`` on [0,1]-clamped inputs,
+  window 11 (``losses.py:146-155``).
+- :class:`DeltaE00Loss` — differentiable CIEDE2000 mean (``losses.py:92-143``).
+- :class:`PhysicsConsistencyLoss` (RAW): ``||K * pad_repl(Bhat_raw) -
+  clamp(A_raw * rho)||_1`` — NOTE the training-loss direction scales **A**
+  by rho (``losses.py:158-192``), opposite of the eval metric's
+  ``rho*(K*Bhat)`` direction; both contracts are preserved deliberately.
+- :func:`align_exposure_srgb` — ``clamp(A*rho, 0, 1)`` with scalar/[N]
+  broadcast (``losses.py:195-203``).
+- :class:`PhysicalConsistencyLossSRGB` — ``||PSF(Bhat_srgb) -
+  align(A_srgb; rho)||_1`` using :class:`CrosstalkPSF` (``losses.py:206-220``).
+
+All components are callables over NHWC arrays, differentiable, jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from lowlight_image_enhancement_tpu.metrics.linear import ssim_linear
+from lowlight_image_enhancement_tpu.models.vgg import load_vgg19_features
+from lowlight_image_enhancement_tpu.ops.color import deltaE2000_rgb
+from lowlight_image_enhancement_tpu.ops.psf import (
+    CrosstalkPSF,
+    depthwise_conv,
+)
+
+Array = jax.Array
+ArrayLike = Union[jax.Array, float]
+
+
+class PerceptualLoss:
+    """Frozen-VGG19 feature loss on sRGB [0,1] inputs (clamped)."""
+
+    def __init__(
+        self,
+        criterion: str = "mse",
+        taps=("relu5_4",),
+        weights_path: Optional[str] = None,
+    ):
+        if criterion not in {"mse", "l1"}:
+            raise ValueError("criterion must be 'mse' or 'l1'")
+        self.criterion = criterion
+        self.module, self.variables, self.pretrained = load_vgg19_features(
+            taps=taps, weights_path=weights_path
+        )
+
+    def __call__(self, pred: Array, target: Array) -> Array:
+        fp = self.module.apply(self.variables, pred)
+        ft = self.module.apply(self.variables, jax.lax.stop_gradient(target))
+        total = 0.0
+        for name in fp:
+            d = fp[name] - ft[name]
+            total = total + (
+                jnp.mean(d * d) if self.criterion == "mse"
+                else jnp.mean(jnp.abs(d))
+            )
+        return total / len(fp)
+
+
+class SSIMLoss:
+    """DSSIM loss ``(1 - SSIM)/2`` with inputs clamped to [0,1]
+    (kornia ``SSIMLoss`` semantics: window 11, max_val 1.0)."""
+
+    def __init__(self, window_size: int = 11, max_val: float = 1.0):
+        self.window_size = window_size
+        self.max_val = max_val
+
+    def __call__(self, pred: Array, target: Array) -> Array:
+        p = jnp.clip(pred, 0.0, 1.0)
+        t = jnp.clip(target, 0.0, 1.0)
+        s = ssim_linear(
+            p, t, data_range=self.max_val, kernel_size=self.window_size
+        )
+        return (1.0 - s) / 2.0
+
+
+class DeltaE00Loss:
+    """Differentiable CIEDE2000 mean over sRGB [0,1] NHWC images."""
+
+    def __init__(self, clamp_input: bool = True):
+        self.clamp_input = clamp_input
+
+    def __call__(self, pred: Array, target: Array) -> Array:
+        if self.clamp_input:
+            pred = jnp.clip(pred, 0.0, 1.0)
+            target = jnp.clip(target, 0.0, 1.0)
+        return jnp.mean(deltaE2000_rgb(pred, target))
+
+
+class PhysicsConsistencyLoss:
+    """RAW-domain physics term (training direction: scale A by rho).
+
+    ``||depthwise_conv(pad_replicate(Bhat_raw), K) - clamp(A_raw*rho)||_1``
+
+    ``kernel``: canonical ``[C_k, kh, kw]`` (``C_k in {1, C}``); the
+    reference's groups=1 full-coupling path is supported by passing a
+    ``[C, C, kh, kw]``-style kernel to the metric API instead — the
+    training loss uses depthwise (the model's physical structure).
+    """
+
+    def __init__(self, kernel: Array, clamp_target: bool = True):
+        self.kernel = jnp.asarray(kernel)
+        self.clamp_target = clamp_target
+
+    def __call__(
+        self, bhat_raw: Array, a_raw: Array, expo_ratio: ArrayLike
+    ) -> Array:
+        projected = depthwise_conv(bhat_raw, self.kernel, padding="replicate")
+        aligned = _broadcast_expo(expo_ratio, a_raw) * a_raw
+        if self.clamp_target:
+            aligned = jnp.clip(aligned, 0.0, 1.0)
+        return jnp.mean(jnp.abs(projected - jax.lax.stop_gradient(aligned)))
+
+
+def _broadcast_expo(expo: ArrayLike, like: Array) -> Array:
+    e = jnp.asarray(expo, dtype=like.dtype)
+    if e.ndim == 0:
+        return e
+    if e.ndim == 1:
+        return e[:, None, None, None]
+    if e.ndim == 4:
+        return e
+    raise ValueError(f"unsupported exposure shape {e.shape}")
+
+
+def align_exposure_srgb(a_srgb: Array, expo_ratio: ArrayLike) -> Array:
+    """``clamp(A_srgb * rho, 0, 1)`` (reference ``losses.py:195-203``)."""
+    return jnp.clip(a_srgb * _broadcast_expo(expo_ratio, a_srgb), 0.0, 1.0)
+
+
+class PhysicalConsistencyLossSRGB:
+    """sRGB physics term: ``||PSF(Bhat) - align(A; rho)||_1``.
+
+    The PSF module is applied to the *prediction only* — the loss-path-only
+    Scenario-B invariant."""
+
+    def __init__(self, psf: CrosstalkPSF):
+        self.psf = psf
+
+    def __call__(
+        self, bhat_srgb: Array, a_srgb: Array, expo_ratio: ArrayLike
+    ) -> Array:
+        projected = self.psf(bhat_srgb)
+        aligned = align_exposure_srgb(
+            jax.lax.stop_gradient(a_srgb), expo_ratio
+        )
+        return jnp.mean(jnp.abs(projected - aligned))
