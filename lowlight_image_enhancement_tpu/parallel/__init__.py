@@ -1,0 +1,6 @@
+from lowlight_image_enhancement_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    replicate_sharding,
+    shard_batch,
+)
