@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: SID 512x512 training steps/sec/chip (batch 2, bf16, full NewBP
+hybrid loss incl. physics term — the reference training recipe,
+``configs/colab/sid_newbp_mono.yml:65-96``), plus inference ms/image at
+1x3x256x256 (the reference latency protocol,
+``metrics/inference_time.py:16-75``) in the ``detail`` field.
+
+``vs_baseline``: the reference publishes NO numbers (see BASELINE.md); the
+denominator used here is the documented ESTIMATE of the reference PyTorch
+recipe on A100 (batch-2 512^2 NAFNet-w32 AMP ~= 8 steps/s) recorded in
+BASELINE.md's north-star discussion — replace with a measured value when a
+reference reproduction exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_STEPS_PER_SEC_ESTIMATE = 8.0
+
+
+def main() -> None:
+    from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+    from lowlight_image_enhancement_tpu.metrics.inference_time import (
+        measure_inference_time,
+    )
+    from lowlight_image_enhancement_tpu.models import create_newbp_net
+    from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
+    from lowlight_image_enhancement_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_schedule,
+        make_train_step,
+    )
+
+    nafnet_params = dict(
+        img_channel=3,
+        width=32,
+        enc_blk_nums=(2, 2, 4, 8),
+        middle_blk_num=12,
+        dec_blk_nums=(2, 2, 2, 2),
+    )
+
+    # --- training throughput: batch 2, 512x512, bf16, full hybrid loss ---
+    net = create_newbp_net(nafnet_params=nafnet_params, dtype=jnp.bfloat16)
+    loss = HybridLossPlus(
+        use_perc=False,  # VGG weights not shipped; perceptual off in bench
+        use_deltaE=True,
+        use_ssim=False,
+        physics_psf_module=create_crosstalk_psf("mono", "P2"),
+    )
+    schedule = make_schedule(
+        {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
+        base_lr=5e-4,
+    )
+    tx = make_optimizer(schedule)
+    state = create_train_state(
+        net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), loss=loss
+    )
+    step = make_train_step(net, loss, tx, donate=True)
+
+    rng = np.random.default_rng(0)
+    n, s = 2, 512
+    short_raw = rng.uniform(0, 0.2, (n, s, s, 3)).astype(np.float32)
+    ratio = np.full((n,), 5.0, np.float32)
+    lq = np.clip(short_raw * ratio[:, None, None, None], 0, 1).astype(np.float32)
+    gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+    batch = {
+        "lq": jnp.asarray(lq),
+        "gt": jnp.asarray(gt),
+        "short_raw": jnp.asarray(short_raw),
+        "long_raw": jnp.asarray(gt),
+        "short_obs": jnp.asarray(short_raw),
+        "expo_ratio": jnp.asarray(ratio),
+    }
+
+    # warmup/compile
+    for _ in range(3):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["l_total"])
+
+    runs = 20
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["l_total"])
+    train_s = (time.perf_counter() - t0) / runs
+    steps_per_sec = 1.0 / train_s
+
+    # --- inference latency: 1x256x256x3, reference protocol ---
+    infer_net = create_newbp_net(nafnet_params=nafnet_params,
+                                 dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), dtype=jnp.float32)
+    variables = infer_net.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, xx: infer_net.apply({"params": p}, xx))
+    lat = measure_inference_time(fwd, variables["params"], x,
+                                 warmup=20, runs=100, batch_size=1)
+
+    result = {
+        "metric": "sid512_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s (batch 2, 512^2, bf16, hybrid loss)",
+        "vs_baseline": round(
+            steps_per_sec / A100_REFERENCE_STEPS_PER_SEC_ESTIMATE, 4
+        ),
+        "detail": {
+            "train_step_ms": round(train_s * 1e3, 3),
+            "infer_ms_per_image_256": round(lat["ms_per_image"], 3),
+            "device": str(jax.devices()[0]),
+            "baseline_note": (
+                "reference publishes no numbers; vs_baseline uses the "
+                "documented A100 estimate of "
+                f"{A100_REFERENCE_STEPS_PER_SEC_ESTIMATE} steps/s"
+            ),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

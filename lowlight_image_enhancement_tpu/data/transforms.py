@@ -1,0 +1,143 @@
+"""Image transforms for paired restoration data (host-side NumPy, NHWC).
+
+Rebuild of reference ``basicsr/data/transforms.py:12-246`` and the image
+utilities in ``basicsr/utils/img_util.py:15-186`` needed by the SID
+pipeline: joint paired crops, flip/rot augmentation, mod-crop, 16-bit PNG
+decode, float conversion. All functions operate on HWC numpy arrays
+(single images) or lists thereof.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+Img = np.ndarray
+
+
+def _as_list(x) -> Tuple[List[Img], bool]:
+    if isinstance(x, (list, tuple)):
+        return list(x), True
+    return [x], False
+
+
+def paired_random_crop(
+    imgs_gt: Union[Img, Sequence[Img]],
+    imgs_lq: Union[Img, Sequence[Img]],
+    patch_size: int,
+    scale: int = 1,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Joint random crop of gt (patch*scale) and lq (patch) images.
+
+    All arrays HWC; gt spatial dims must be ``scale`` x the lq dims.
+    """
+    rng = rng or np.random.default_rng()
+    gts, gt_was_list = _as_list(imgs_gt)
+    lqs, lq_was_list = _as_list(imgs_lq)
+    h_lq, w_lq = lqs[0].shape[:2]
+    h_gt, w_gt = gts[0].shape[:2]
+    if h_gt != h_lq * scale or w_gt != w_lq * scale:
+        raise ValueError(
+            f"gt size {(h_gt, w_gt)} is not {scale}x lq size {(h_lq, w_lq)}"
+        )
+    if h_lq < patch_size or w_lq < patch_size:
+        raise ValueError(
+            f"lq {(h_lq, w_lq)} smaller than patch {patch_size}"
+        )
+    top = int(rng.integers(0, h_lq - patch_size + 1))
+    left = int(rng.integers(0, w_lq - patch_size + 1))
+    lqs = [im[top : top + patch_size, left : left + patch_size, ...]
+           for im in lqs]
+    tg, lg, pg = top * scale, left * scale, patch_size * scale
+    gts = [im[tg : tg + pg, lg : lg + pg, ...] for im in gts]
+    return (gts if gt_was_list else gts[0],
+            lqs if lq_was_list else lqs[0])
+
+
+def center_crop(img: Img, patch_size: int) -> Img:
+    h, w = img.shape[:2]
+    top = max((h - patch_size) // 2, 0)
+    left = max((w - patch_size) // 2, 0)
+    return img[top : top + patch_size, left : left + patch_size, ...]
+
+
+def joint_random_crop(
+    imgs: Sequence[Img], patch_size: int,
+    rng: Optional[np.random.Generator] = None,
+) -> List[Img]:
+    """Crop N same-sized images at the same random location (the SID
+    dataset crops short/long/raw/obs jointly,
+    ``sony_sid_lmdb_dataset.py:161-194``)."""
+    rng = rng or np.random.default_rng()
+    h, w = imgs[0].shape[:2]
+    for im in imgs[1:]:
+        if im.shape[:2] != (h, w):
+            raise ValueError("joint crop requires equal spatial dims")
+    if h < patch_size or w < patch_size:
+        raise ValueError(f"images {(h, w)} smaller than patch {patch_size}")
+    top = int(rng.integers(0, h - patch_size + 1))
+    left = int(rng.integers(0, w - patch_size + 1))
+    return [im[top : top + patch_size, left : left + patch_size, ...]
+            for im in imgs]
+
+
+def augment(
+    imgs: Union[Img, Sequence[Img]],
+    hflip: bool = True,
+    rotation: bool = True,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Random horizontal flip / vertical flip / transpose ("rot90"),
+    applied identically to all images (reference ``augment``)."""
+    rng = rng or np.random.default_rng()
+    do_hflip = hflip and rng.random() < 0.5
+    do_vflip = rotation and rng.random() < 0.5
+    do_rot = rotation and rng.random() < 0.5
+
+    def _aug(img: Img) -> Img:
+        if do_hflip:
+            img = img[:, ::-1, ...]
+        if do_vflip:
+            img = img[::-1, :, ...]
+        if do_rot:
+            img = np.transpose(img, (1, 0, 2)) if img.ndim == 3 else img.T
+        return np.ascontiguousarray(img)
+
+    lst, was_list = _as_list(imgs)
+    out = [_aug(im) for im in lst]
+    return out if was_list else out[0]
+
+
+def mod_crop(img: Img, scale: int) -> Img:
+    """Crop spatial dims to multiples of ``scale``."""
+    h, w = img.shape[:2]
+    return img[: h - h % scale, : w - w % scale, ...]
+
+
+def decode_png_uint16(buf: bytes) -> Img:
+    """Decode a (possibly 16-bit) PNG byte buffer to RGB uint16 HWC.
+
+    Mirrors reference ``_load_png_uint16`` (``sony_sid_lmdb_dataset.py:
+    38-56``): uint8 images are promoted x257 to the uint16 scale; channel
+    order converted BGR->RGB (cv2 convention).
+    """
+    import cv2
+
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("PNG decode failed")
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    if img.dtype == np.uint8:
+        img = img.astype(np.uint16) * 257
+    if img.shape[-1] == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img)
+
+
+def uint16_to_float01(img: Img) -> Img:
+    """uint16 [0, 65535] -> float32 [0, 1]."""
+    return (img.astype(np.float32) / 65535.0).clip(0.0, 1.0)

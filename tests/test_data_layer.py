@@ -1,0 +1,218 @@
+"""Data layer tests: SIDPack roundtrip, SID dataset protocol, loader
+sharding/determinism, debug fixtures (port of reference
+``tests/test_data_pipeline_and_training.py`` data-side checks)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from lowlight_image_enhancement_tpu.data import (
+    Loader,
+    SidPackReader,
+    SidPackWriter,
+    SonySIDDataset,
+    create_dataset,
+    create_loader,
+    make_debug_sid,
+    prefetch_to_device,
+)
+from lowlight_image_enhancement_tpu.data.transforms import (
+    augment,
+    joint_random_crop,
+    mod_crop,
+    paired_random_crop,
+)
+
+
+@pytest.fixture(scope="module")
+def debug_sid(tmp_path_factory):
+    root = tmp_path_factory.mktemp("debug_sid")
+    return make_debug_sid(str(root), n_pairs=3, size=64, ratio=10.0), str(root)
+
+
+class TestSidPack:
+    def test_roundtrip(self, tmp_path, rng):
+        path = str(tmp_path / "test.pack")
+        a = rng.integers(0, 65535, (32, 32, 3)).astype(np.uint16)
+        b = rng.standard_normal((4, 4)).astype(np.float32)
+        with SidPackWriter(path) as w:
+            w.add("a", a)
+            w.add("b", b, comp="none")
+        with SidPackReader(path) as r:
+            assert set(r.keys()) == {"a", "b"}
+            np.testing.assert_array_equal(r.get("a"), a)
+            np.testing.assert_array_equal(r.get("b"), b)
+            assert r.meta("a")["comp"] == "zlib"
+
+    def test_duplicate_key_raises(self, tmp_path):
+        with SidPackWriter(str(tmp_path / "d.pack")) as w:
+            w.add("x", np.zeros((2, 2)))
+            with pytest.raises(KeyError):
+                w.add("x", np.zeros((2, 2)))
+
+    def test_bad_magic(self, tmp_path):
+        p = tmp_path / "bad.pack"
+        p.write_bytes(b"NOTAPACKxxxxxxxx")
+        with pytest.raises(ValueError, match="SIDPACK1"):
+            SidPackReader(str(p))
+
+
+class TestTransforms:
+    def test_paired_random_crop_aligned(self, rng):
+        gt = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        lq = gt.copy()
+        g, l = paired_random_crop(gt, lq, 16, rng=rng)
+        np.testing.assert_array_equal(g, l)
+        assert g.shape == (16, 16, 3)
+
+    def test_joint_random_crop_same_window(self, rng):
+        a = rng.uniform(0, 1, (20, 20, 3))
+        b = a * 2
+        ca, cb = joint_random_crop([a, b], 8, rng=rng)
+        np.testing.assert_allclose(cb, ca * 2)
+
+    def test_augment_consistent(self, rng):
+        a = rng.uniform(0, 1, (8, 8, 3))
+        b = a + 1
+        aa, ab = augment([a, b], rng=rng)
+        np.testing.assert_allclose(ab, aa + 1)
+
+    def test_mod_crop(self):
+        x = np.zeros((13, 17, 3))
+        assert mod_crop(x, 4).shape == (12, 16, 3)
+
+
+class TestSonySIDDataset:
+    def test_item_protocol(self, debug_sid):
+        paths, root = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"],
+            subset="train",
+            phase="train",
+            patch_size=32,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        item = ds[0]
+        assert {"lq", "gt", "short_raw", "long_raw", "short_obs",
+                "expo_ratio", "pair_id", "key"} <= set(item)
+        assert item["lq"].shape == (32, 32, 3)
+        assert item["lq"].dtype == np.float32
+        assert float(item["expo_ratio"]) == 10.0
+        # lq is the exposure-aligned short: clip(short_raw * ratio)
+        np.testing.assert_allclose(
+            item["lq"], np.clip(item["short_raw"] * 10.0, 0, 1), atol=1e-6
+        )
+        # aligned short approximates the long target (synthetic contract)
+        assert np.mean(np.abs(item["lq"] - item["gt"])) < 0.05
+
+    def test_samples_per_pair(self, debug_sid):
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="train",
+            samples_per_pair=4,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        assert len(ds) == 3 * 4
+
+    def test_subset_filter_and_missing(self, debug_sid):
+        paths, _ = debug_sid
+        with pytest.raises(ValueError, match="no pairs"):
+            SonySIDDataset(
+                manifest_path=paths["manifest"], subset="test",
+                io_backend={"type": "pack",
+                            "short_path": paths["train_short"],
+                            "long_path": paths["train_long"]},
+            )
+
+    def test_create_dataset_registry(self, debug_sid):
+        paths, _ = debug_sid
+        ds = create_dataset({
+            "type": "SonySIDDataset",
+            "manifest_path": paths["manifest"],
+            "subset": "val",
+            "phase": "val",
+            "io_backend": {"type": "pack",
+                           "short_path": paths["val_short"],
+                           "long_path": paths["val_long"]},
+        })
+        assert len(ds) == 3
+
+
+class TestLoader:
+    def test_batching_and_determinism(self, debug_sid):
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="train",
+            patch_size=16, samples_per_pair=4,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        loader = Loader(ds, batch_size=4, shuffle=True, seed=1)
+        loader.set_epoch(0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 3
+        assert batches[0]["lq"].shape == (4, 16, 16, 3)
+        assert batches[0]["expo_ratio"].shape == (4,)
+        # same epoch -> same order
+        ids1 = [b["pair_id"] for b in batches]
+        loader.set_epoch(0)
+        ids2 = [b["pair_id"] for b in list(loader)]
+        assert ids1 == ids2
+        loader.set_epoch(1)
+        ids3 = [b["pair_id"] for b in list(loader)]
+        assert ids1 != ids3  # reshuffled
+
+    def test_host_sharding_partitions(self, debug_sid):
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="train",
+            patch_size=16, samples_per_pair=8, random_crop=False,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        seen = []
+        for host in (0, 1):
+            loader = Loader(ds, batch_size=4, shuffle=False,
+                            num_hosts=2, host_id=host)
+            for b in loader:
+                seen.extend(zip([host] * 4, b["pair_id"]))
+        # the two hosts see disjoint index streams covering the dataset
+        host0 = [i for h, i in seen if h == 0]
+        host1 = [i for h, i in seen if h == 1]
+        assert len(host0) == len(host1) == 12
+
+    def test_prefetch_to_device(self, debug_sid):
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="val", phase="val",
+            patch_size=16,
+            io_backend={"type": "pack",
+                        "short_path": paths["val_short"],
+                        "long_path": paths["val_long"]},
+        )
+        loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False)
+        out = list(prefetch_to_device(iter(loader)))
+        assert len(out) == 3
+        import jax
+        assert isinstance(out[0]["lq"], jax.Array)
+        assert "pair_id" not in out[0]
+
+    def test_create_loader_from_opt(self, debug_sid):
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="train", patch_size=16,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        loader = create_loader(ds, {"phase": "train",
+                                    "batch_size_per_gpu": 2})
+        b = next(iter(loader))
+        assert b["lq"].shape[0] == 2
