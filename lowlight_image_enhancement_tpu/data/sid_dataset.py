@@ -26,7 +26,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from lowlight_image_enhancement_tpu.data.records import SidPackReader
+from lowlight_image_enhancement_tpu.data.native_loader import NativeSidPack
 from lowlight_image_enhancement_tpu.data.transforms import (
     augment,
     center_crop,
@@ -92,8 +92,10 @@ class SonySIDDataset:
         io_backend = dict(io_backend or {"type": "disk", "root": "."})
         self.backend_type = io_backend.pop("type")
         if self.backend_type == "pack":
-            self._short = SidPackReader(io_backend["short_path"])
-            self._long = SidPackReader(io_backend["long_path"])
+            # NativeSidPack: C fast path (mmap + inflate + fused crop) with
+            # transparent pure-Python fallback.
+            self._short = NativeSidPack(io_backend["short_path"])
+            self._long = NativeSidPack(io_backend["long_path"])
         elif self.backend_type == "disk":
             self._root = io_backend.get("root", ".")
         else:
@@ -118,24 +120,47 @@ class SonySIDDataset:
         with open(path, "rb") as f:
             return uint16_to_float01(decode_png_uint16(f.read()))
 
+    def _crop_coords(self, h: int, w: int) -> tuple[int, int]:
+        ps = self.patch_size
+        if self.phase == "train" and self.random_crop:
+            return (int(self._rng.integers(0, h - ps + 1)),
+                    int(self._rng.integers(0, w - ps + 1)))
+        return max((h - ps) // 2, 0), max((w - ps) // 2, 0)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         rec = self.records[idx % len(self.records)]
-        short_raw = self._load("short", rec["short_key"])
-        long_raw = self._load("long", rec["long_key"])
         ratio = float(rec.get(
             "exposure_ratio",
             rec.get("long_exposure", 1.0) / max(rec.get("short_exposure", 1.0),
                                                 1e-12),
         ))
 
-        if self.patch_size:
-            if self.phase == "train" and self.random_crop:
-                short_raw, long_raw = joint_random_crop(
-                    [short_raw, long_raw], self.patch_size, rng=self._rng
-                )
-            else:
-                short_raw = center_crop(short_raw, self.patch_size)
-                long_raw = center_crop(long_raw, self.patch_size)
+        if (self.patch_size and self.backend_type == "pack"
+                and rec["short_key"] in self._short
+                and self._short.meta_dtype(rec["short_key"]) == "uint16"
+                and self._long.meta_dtype(rec["long_key"]) == "uint16"
+                and self._short.meta_shape(rec["short_key"])
+                == self._long.meta_shape(rec["long_key"])):
+            # crop pushdown: decode only the crop window natively
+            h, w = self._short.meta_shape(rec["short_key"])[:2]
+            top, left = self._crop_coords(h, w)
+            ps = self.patch_size
+            short_raw = self._short.decode_crop(rec["short_key"], top, left,
+                                                ps, ps)
+            long_raw = self._long.decode_crop(rec["long_key"], top, left,
+                                              ps, ps)
+        else:
+            short_raw = self._load("short", rec["short_key"])
+            long_raw = self._load("long", rec["long_key"])
+            if self.patch_size:
+                if self.phase == "train" and self.random_crop:
+                    short_raw, long_raw = joint_random_crop(
+                        [short_raw, long_raw], self.patch_size,
+                        rng=self._rng
+                    )
+                else:
+                    short_raw = center_crop(short_raw, self.patch_size)
+                    long_raw = center_crop(long_raw, self.patch_size)
         if self.phase == "train" and self.use_augment:
             short_raw, long_raw = augment([short_raw, long_raw],
                                           rng=self._rng)

@@ -74,13 +74,18 @@ def pixel_shuffle(x: Array, r: int = 2) -> Array:
 
 
 class NAFBlock(nn.Module):
-    """The NAFNet block (reference ``NAFNet_arch.py:27-80``)."""
+    """The NAFNet block (reference ``NAFNet_arch.py:27-80``).
+
+    ``tlc_window``: when set, the SCA global mean becomes a TLC windowed
+    mean (test-time local statistics, reference ``local_arch.py``).
+    """
 
     features: int
     dw_expand: int = 2
     ffn_expand: int = 2
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    tlc_window: Any = None  # Optional[Tuple[int, int]]
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -102,9 +107,16 @@ class NAFBlock(nn.Module):
         y = conv(dw, 1, "conv1")(y)
         y = conv(dw, 3, "conv2", grouped=True)(y)  # 3x3 depthwise
         y = simple_gate(y)
-        # Simplified Channel Attention: global mean -> 1x1 -> scale
-        att = jnp.mean(y, axis=(1, 2), keepdims=True)
-        att = conv(dw // 2, 1, "sca_conv")(att)
+        # Simplified Channel Attention: global mean -> 1x1 -> scale.
+        # With TLC, the mean is windowed (per-pixel local statistics).
+        if self.tlc_window is not None:
+            from lowlight_image_enhancement_tpu.ops.tlc import windowed_mean
+
+            att = windowed_mean(y, tuple(self.tlc_window))
+            att = conv(dw // 2, 1, "sca_conv")(att)
+        else:
+            att = jnp.mean(y, axis=(1, 2), keepdims=True)
+            att = conv(dw // 2, 1, "sca_conv")(att)
         y = y * att
         y = conv(c, 1, "conv3")(y)
         if self.dropout_rate > 0.0:
@@ -139,6 +151,7 @@ class NAFNet(nn.Module):
     ffn_expand: int = 2
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    tlc_window: Any = None  # Optional[Tuple[int, int]] — TLC local SCA
 
     @property
     def padder_size(self) -> int:
@@ -173,6 +186,7 @@ class NAFNet(nn.Module):
                     self.ffn_expand,
                     self.dropout_rate,
                     self.dtype,
+                    self.tlc_window,
                     name=f"enc{si}_blk{bi}",
                 )(x, deterministic=deterministic)
             skips.append(x)
@@ -186,6 +200,7 @@ class NAFNet(nn.Module):
                 self.ffn_expand,
                 self.dropout_rate,
                 self.dtype,
+                self.tlc_window,
                 name=f"mid_blk{bi}",
             )(x, deterministic=deterministic)
 
@@ -201,6 +216,7 @@ class NAFNet(nn.Module):
                     self.ffn_expand,
                     self.dropout_rate,
                     self.dtype,
+                    self.tlc_window,
                     name=f"dec{si}_blk{bi}",
                 )(x, deterministic=deterministic)
 
@@ -216,3 +232,18 @@ class NAFNet(nn.Module):
         if ph == 0 and pw == 0:
             return x
         return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+@ARCH_REGISTRY.register(name="NAFNetLocal")
+def nafnet_local(*, train_size=(256, 256), tlc_ratio: float = 1.5,
+                 **kwargs) -> NAFNet:
+    """Test-time Local Converter variant (reference ``NAFNetLocal`` +
+    ``Local_Base.convert``): identical params to NAFNet, but SCA pooling is
+    windowed at ``tlc_ratio x train_size``. Load trained NAFNet params
+    directly — the param tree is unchanged."""
+    from lowlight_image_enhancement_tpu.ops.tlc import (
+        tlc_window_from_train_size,
+    )
+
+    window = tlc_window_from_train_size(tuple(train_size), tlc_ratio)
+    return NAFNet(tlc_window=window, **kwargs)

@@ -115,10 +115,31 @@ def ciede2000_lab(
     C1p = _safe_sqrt(a1p * a1p + b1 * b1, eps)
     C2p = _safe_sqrt(a2p * a2p + b2 * b2, eps)
 
-    # Hue angles in [0, 2pi). atan2(0,0) == 0 per the spec.
+    # Hue angles in [0, 2pi). atan2(0,0) == 0 per the spec. The inputs are
+    # made safe *before* atan2 (double-where trick): atan2's gradient at the
+    # origin is NaN, and a plain where() on the output still back-propagates
+    # that NaN on neutral (gray) pixels.
     two_pi = 2.0 * jnp.pi
-    h1p = jnp.mod(jnp.arctan2(b1, a1p), two_pi)
-    h2p = jnp.mod(jnp.arctan2(b2, a2p), two_pi)
+    c1_zero = (a1p * a1p + b1 * b1) < 1e-10
+    c2_zero = (a2p * a2p + b2 * b2) < 1e-10
+    h1p = jnp.where(
+        c1_zero,
+        0.0,
+        jnp.mod(
+            jnp.arctan2(jnp.where(c1_zero, 0.0, b1),
+                        jnp.where(c1_zero, 1.0, a1p)),
+            two_pi,
+        ),
+    )
+    h2p = jnp.where(
+        c2_zero,
+        0.0,
+        jnp.mod(
+            jnp.arctan2(jnp.where(c2_zero, 0.0, b2),
+                        jnp.where(c2_zero, 1.0, a2p)),
+            two_pi,
+        ),
+    )
 
     dLp = L2 - L1
     dCp = C2p - C1p

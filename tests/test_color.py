@@ -91,6 +91,20 @@ class TestCiede2000Gold:
         dii = np.asarray(ciede2000_lab(lab, lab))
         np.testing.assert_allclose(dii, 0.0, atol=1e-3)
 
+    def test_gradient_finite_on_neutral_pixels(self, rng):
+        """Regression: atan2(0,0) NaN-gradient trap — gray images (zero
+        chroma) must still produce finite CIEDE2000 gradients."""
+        g = rng.uniform(0, 1, (1, 4, 4, 1)).astype(np.float32)
+        gray = jnp.asarray(np.repeat(g, 3, axis=-1))
+        grad = jax.grad(
+            lambda a: jnp.mean(deltaE2000_rgb(a, gray * 0.9))
+        )(gray)
+        assert np.all(np.isfinite(np.asarray(grad)))
+        grad_same = jax.grad(
+            lambda a: jnp.mean(deltaE2000_rgb(a, gray))
+        )(gray)
+        assert np.all(np.isfinite(np.asarray(grad_same)))
+
     def test_differentiable(self, rng):
         rgb1 = jnp.asarray(rng.uniform(0.05, 0.95, (1, 4, 4, 3)),
                            dtype=jnp.float32)
