@@ -1,0 +1,134 @@
+"""Reference-API model wrapper tests (create_model, feed_data/
+optimize_parameters/test/validation/save/resume surface)."""
+
+import numpy as np
+import pytest
+
+from lowlight_image_enhancement_tpu.training.model_wrapper import (
+    ImageRestorationModel,
+    LowlightModel,
+    create_model,
+)
+
+
+def tiny_opt(tmp_path, model_type="ImageRestorationModel"):
+    return {
+        "name": "wrapper_test",
+        "model_type": model_type,
+        "is_train": True,
+        "manual_seed": 0,
+        "network_g": {
+            "type": "NewBPNAFNet",
+            "nafnet_params": {"img_channel": 3, "width": 8,
+                              "enc_blk_nums": [1, 1], "middle_blk_num": 1,
+                              "dec_blk_nums": [1, 1]},
+        },
+        "path": {"models": str(tmp_path / "models"),
+                 "training_states": str(tmp_path / "states")},
+        "train": {
+            "total_iter": 10,
+            "optim_g": {"type": "AdamW", "lr": 1e-3},
+            "hybrid_opt": {
+                "type": "HybridLossPlus",
+                "use_perc": False, "use_deltaE": False, "use_ssim": False,
+                "w_phys": 0.1,
+                "physics": {"mode": "mono", "kernel_spec": "P2"},
+            },
+            "use_grad_clip": True,
+        },
+        "val": {"metrics": {"psnr": {"type": "linear_psnr",
+                                     "data_range": 1.0}}},
+    }
+
+
+def make_data(rng, n=2, s=32):
+    short = rng.uniform(0, 0.1, (n, s, s, 3)).astype(np.float32)
+    ratio = np.full((n,), 10.0, np.float32)
+    lq = np.clip(short * ratio[:, None, None, None], 0, 1)
+    gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+    return {"lq": lq, "gt": gt, "short_raw": short, "long_raw": gt,
+            "short_obs": short, "expo_ratio": ratio}
+
+
+class TestCreateModel:
+    def test_registry_dispatch(self, tmp_path):
+        m = create_model(tiny_opt(tmp_path))
+        assert isinstance(m, ImageRestorationModel)
+        m2 = create_model(tiny_opt(tmp_path, "LowlightModel"))
+        assert isinstance(m2, LowlightModel)
+
+    def test_unknown_type_raises(self, tmp_path):
+        with pytest.raises(KeyError):
+            create_model({**tiny_opt(tmp_path), "model_type": "NoSuchModel"})
+
+
+class TestImageRestorationModel:
+    def test_optimize_and_log(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        m.feed_data(make_data(rng))
+        m.optimize_parameters(1)
+        assert {"l_l1_raw", "l_phys", "l_total"} <= set(m.get_current_log())
+        assert np.isfinite(m.get_current_log()["l_total"])
+
+    def test_loss_decreases_five_steps(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        data = make_data(rng)
+        losses = []
+        for i in range(5):
+            m.feed_data(data)
+            m.optimize_parameters(i)
+            losses.append(m.get_current_log()["l_total"])
+        assert losses[-1] < losses[0]
+
+    def test_test_and_visuals(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        m.feed_data(make_data(rng))
+        m.test()
+        vis = m.get_current_visuals()
+        assert vis["result"].shape == vis["gt"].shape
+
+    def test_minibatched_test(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        m.feed_data(make_data(rng, n=4))
+        m.test(max_minibatch=2)
+        assert m.output.shape[0] == 4
+
+    def test_grids_inference(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        m.feed_data(make_data(rng, n=1, s=64))
+        m.grids(crop_size=32)
+        m.test_grids()
+        assert m.output.shape == (1, 64, 64, 3)
+        m.grids_inverse()
+
+    def test_save_and_resume(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        m.feed_data(make_data(rng))
+        for i in range(3):
+            m.optimize_parameters(i)
+        m.save()
+        m2 = create_model(tiny_opt(tmp_path))
+        resumed_iter = m2.resume_training()
+        assert resumed_iter == 3
+        a = np.asarray(
+            __import__("jax").tree_util.tree_leaves(m.state.params)[0])
+        b = np.asarray(
+            __import__("jax").tree_util.tree_leaves(m2.state.params)[0])
+        np.testing.assert_array_equal(a, b)
+
+    def test_validation(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path))
+        results = m.validation([make_data(rng)])
+        assert "psnr" in results and np.isfinite(results["psnr"])
+        assert m.get_current_log()["m_psnr"] == results["psnr"]
+
+
+class TestLowlightModel:
+    def test_train_with_short_long_keys(self, tmp_path, rng):
+        m = create_model(tiny_opt(tmp_path, "LowlightModel"))
+        d = make_data(rng)
+        m.feed_data({"short": d["lq"], "long": d["gt"]})
+        m.optimize_parameters(1)
+        assert np.isfinite(m.get_current_log()["l_pix"])
+        m.test()
+        assert m.output.shape == d["lq"].shape
