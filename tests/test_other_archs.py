@@ -1,0 +1,93 @@
+"""UNet / Baseline / SwinIR backbone tests: registry, shapes, gradients,
+window-attention invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowlight_image_enhancement_tpu.models import define_network
+from lowlight_image_enhancement_tpu.models.swinir import (
+    SwinIR,
+    window_partition,
+    window_reverse,
+)
+from lowlight_image_enhancement_tpu.models.unet import UNetSID
+from lowlight_image_enhancement_tpu.models.baseline import Baseline
+
+
+class TestWindows:
+    def test_partition_reverse_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, 4)),
+                        dtype=jnp.float32)
+        wins = window_partition(x, 8)
+        assert wins.shape == (2 * 2 * 3, 8, 8, 4)
+        back = window_reverse(wins, 8, 16, 24)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize(
+    "opt,shape",
+    [
+        ({"type": "UNetSID", "base_channels": 8,
+          "depths": (8, 16, 32)}, (1, 32, 32, 3)),
+        ({"type": "Baseline", "width": 8, "middle_blk_num": 1,
+          "enc_blk_nums": (1, 1), "dec_blk_nums": (1, 1)}, (1, 16, 16, 3)),
+        ({"type": "SwinIR", "embed_dim": 16, "depths": (2,),
+          "num_heads": (2,), "window_size": 8}, (1, 16, 16, 3)),
+        ({"type": "SwinIRRestoration", "embed_dim": 16, "depths": (2,),
+          "num_heads": (2,), "window_size": 8}, (1, 16, 16, 3)),
+    ],
+)
+class TestArchs:
+    def test_forward_shape(self, rng, opt, shape):
+        net = define_network(dict(opt))
+        x = jnp.asarray(rng.uniform(0, 1, shape), dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(params, x)
+        assert y.shape == shape
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_grad_flows(self, rng, opt, shape):
+        net = define_network(dict(opt))
+        x = jnp.asarray(rng.uniform(0, 1, shape), dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.mean(net.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.linalg.norm(l)) > 0 for l in leaves)
+
+
+class TestOddSizes:
+    def test_swinir_pads_non_multiple(self, rng):
+        net = SwinIR(embed_dim=16, depths=(2,), num_heads=(2,),
+                     window_size=8)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 19, 23, 3)),
+                        dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        assert net.apply(params, x).shape == (1, 19, 23, 3)
+
+    def test_baseline_pads_non_multiple(self, rng):
+        net = Baseline(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                       dec_blk_nums=(1, 1))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 13, 10, 3)),
+                        dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        assert net.apply(params, x).shape == (1, 13, 10, 3)
+
+    def test_unet_param_count_scales(self):
+        from lowlight_image_enhancement_tpu.metrics.parameter_utils import (
+            count_parameters,
+        )
+
+        small = UNetSID(depths=(8, 16))
+        big = UNetSID(depths=(32, 64, 128, 256))
+        x = jnp.zeros((1, 32, 32, 3))
+        p_small = count_parameters(
+            small.init(jax.random.PRNGKey(0), x)["params"])
+        p_big = count_parameters(big.init(jax.random.PRNGKey(0), x)["params"])
+        assert p_big > p_small * 10
