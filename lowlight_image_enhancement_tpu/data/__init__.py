@@ -23,6 +23,10 @@ from lowlight_image_enhancement_tpu.data.records import (  # noqa: F401
     SidPackWriter,
     build_sidpack,
 )
+from lowlight_image_enhancement_tpu.data.paired_image_dataset import (  # noqa: F401
+    PairedImageDataset,
+    SingleImageDataset,
+)
 from lowlight_image_enhancement_tpu.data.sid_dataset import (  # noqa: F401
     SonySIDDataset,
     load_manifest,

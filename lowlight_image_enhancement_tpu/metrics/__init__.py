@@ -51,6 +51,11 @@ from lowlight_image_enhancement_tpu.metrics.phys_consistency import (  # noqa: F
 from lowlight_image_enhancement_tpu.metrics.psnr import (  # noqa: F401
     calculate_psnr,
 )
+from lowlight_image_enhancement_tpu.metrics.psnr_ssim_img import (  # noqa: F401
+    calculate_psnr_img,
+    calculate_ssim_img,
+    rgb2ycbcr,
+)
 from lowlight_image_enhancement_tpu.metrics.ssim import (  # noqa: F401
     SSIMEvaluator,
     SSIMMetric,

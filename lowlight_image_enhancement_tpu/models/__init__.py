@@ -41,6 +41,10 @@ try:  # noqa: SIM105
     from lowlight_image_enhancement_tpu.models import baseline as _baseline  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:  # noqa: SIM105
+    from lowlight_image_enhancement_tpu.models import nafssr as _nafssr  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def define_network(opt: Mapping[str, Any]):

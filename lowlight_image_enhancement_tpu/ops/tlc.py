@@ -33,8 +33,9 @@ def windowed_mean(x: Array, window: Tuple[int, int]) -> Array:
     """
     kh, kw = window
     n, h, w, c = x.shape
-    kh = min(kh, h)
-    kw = min(kw, w)
+    # no clamping to the image size: index clipping below already bounds the
+    # window, and a window >= 2x the image must degrade to the global mean
+    # for every pixel (train/test statistics consistency).
 
     xf = x.astype(jnp.float32)
     # integral image with a leading zero row/col
