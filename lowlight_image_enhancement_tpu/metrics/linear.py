@@ -95,14 +95,15 @@ def psnr_linear(
 def _window_np(
     kernel_size: int, sigma: float, uniform: bool
 ) -> np.ndarray:
-    """Cached 2-D window ``[k, k]`` summing to 1 (reference
-    ``_kernel_cache_base``)."""
+    """Cached 1-D window ``[k]`` summing to 1 (reference
+    ``_kernel_cache_base``; Gaussian and uniform windows are separable, so
+    the 2-D blur runs as two 1-D passes — each an elementwise shift-add on
+    TPU instead of a pathological small-channel conv)."""
     if uniform:
-        w = np.ones((kernel_size, kernel_size), dtype=np.float64)
+        w = np.ones((kernel_size,), dtype=np.float64)
     else:
         ax = np.arange(kernel_size, dtype=np.float64) - (kernel_size - 1) / 2.0
-        g = np.exp(-(ax**2) / (2.0 * sigma**2))
-        w = np.outer(g, g)
+        w = np.exp(-(ax**2) / (2.0 * sigma**2))
     return (w / w.sum()).astype(np.float32)
 
 
@@ -148,11 +149,16 @@ def ssim_linear(
     x = jnp.asarray(pred, dtype=dt)
     y = jnp.asarray(target, dtype=dt)
 
-    win = jnp.asarray(_window_np(kernel_size, sigma, not gaussian), dtype=dt)
-    win = win[None]  # [1, k, k] canonical mono kernel, broadcast depthwise
+    win1d = jnp.asarray(_window_np(kernel_size, sigma, not gaussian),
+                        dtype=dt)
+    win_row = win1d[None, None, :]  # [1, 1, k] — horizontal pass
+    win_col = win1d[None, :, None]  # [1, k, 1] — vertical pass
 
     def blur(z: Array) -> Array:
-        return depthwise_conv(z, win, padding=padding)
+        return depthwise_conv(
+            depthwise_conv(z, win_col, padding=padding),
+            win_row, padding=padding,
+        )
 
     mu_x = blur(x)
     mu_y = blur(y)

@@ -69,3 +69,27 @@ def _ln_bwd(eps, res, g):
 
 
 layer_norm_2d.defvjp(_ln_fwd, _ln_bwd)
+
+
+def layer_norm_2d_auto(x: Array, weight: Array, bias: Array,
+                       eps: float = 1e-6) -> Array:
+    """Backend-dispatching channel-LN: the fused Pallas kernel on TPU for
+    eligible shapes, the jnp custom-VJP implementation otherwise.
+
+    Disable the Pallas path globally with ``LLIE_DISABLE_PALLAS=1`` (e.g.
+    for A/B benchmarking — see ``tools/bench_kernels.py``).
+    """
+    import os
+
+    if os.environ.get("LLIE_DISABLE_PALLAS"):
+        return layer_norm_2d(x, weight, bias, eps)
+    if jax.default_backend() != "tpu":
+        return layer_norm_2d(x, weight, bias, eps)
+    from lowlight_image_enhancement_tpu.ops.pallas.layernorm import (
+        layer_norm_2d_pallas,
+        pallas_ln_supported,
+    )
+
+    if not pallas_ln_supported(x):
+        return layer_norm_2d(x, weight, bias, eps)
+    return layer_norm_2d_pallas(x, weight, bias, eps)

@@ -1,0 +1,177 @@
+"""Fused channel-LayerNorm Pallas TPU kernels (forward + backward).
+
+The NAFBlock applies channel-LN twice per block (72 LN calls per SID
+forward); each is bandwidth-bound. These kernels process the activation as
+``[R = N*H*W, C]`` row tiles resident in VMEM, computing mean/var/normalize
+/affine in one pass (forward) and the analytic LN backward plus per-tile
+weight/bias gradient partials in one pass (backward) — one HBM round trip
+per tensor per direction.
+
+The public entry :func:`layer_norm_2d` in ``ops.layernorm`` auto-selects
+these kernels on TPU (fp32/bf16, C <= 1024, rows divisible by the tile)
+and falls back to the jnp custom-VJP implementation elsewhere; parity is
+tested in interpret mode on CPU and on-chip in the perf harness
+(``tools/bench_kernels.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE_R = 256
+
+
+def _interpret() -> bool:
+    # interpret mode off-TPU so the kernels stay testable on CPU
+    return jax.default_backend() != "tpu"
+
+
+def _ln_fwd_kernel(x_ref, w_ref, b_ref, eps_ref, y_ref, xhat_ref, rstd_ref):
+    x = x_ref[:].astype(jnp.float32)
+    eps = eps_ref[0]
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    y = xhat * w_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+    xhat_ref[:] = xhat
+    rstd_ref[:] = rstd
+
+
+def _ln_bwd_kernel(g_ref, xhat_ref, rstd_ref, w_ref, gx_ref, gw_ref, gb_ref):
+    g = g_ref[:].astype(jnp.float32)
+    xhat = xhat_ref[:]
+    rstd = rstd_ref[:]
+    w = w_ref[:].astype(jnp.float32)
+    gxhat = g * w
+    mean_g = jnp.mean(gxhat, axis=1, keepdims=True)
+    mean_gx = jnp.mean(gxhat * xhat, axis=1, keepdims=True)
+    gx_ref[:] = ((gxhat - mean_g - xhat * mean_gx) * rstd).astype(
+        gx_ref.dtype
+    )
+    # per-tile partials (row 0 of an 8-row block — TPU blocks need the
+    # sublane dim divisible by 8), summed outside
+    gw_ref[:] = jnp.pad(jnp.sum(g * xhat, axis=0, keepdims=True),
+                        ((0, 7), (0, 0)))
+    gb_ref[:] = jnp.pad(jnp.sum(g, axis=0, keepdims=True), ((0, 7), (0, 0)))
+
+
+def _fwd_call(x2: Array, w: Array, b: Array, eps: float):
+    r, c = x2.shape
+    grid = (r // TILE_R,)
+    y, xhat, rstd = pl.pallas_call(
+        _ln_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), x2.dtype),
+            jax.ShapeDtypeStruct((r, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x2, w, b, jnp.asarray([eps], jnp.float32))
+    return y, xhat, rstd
+
+
+def _bwd_call(g2: Array, xhat: Array, rstd: Array, w: Array):
+    r, c = g2.shape
+    n_tiles = r // TILE_R
+    gx, gw_part, gb_part = pl.pallas_call(
+        _ln_bwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), g2.dtype),
+            jax.ShapeDtypeStruct((n_tiles * 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, c), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(g2, xhat, rstd, w)
+    return gx, jnp.sum(gw_part, axis=0), jnp.sum(gb_part, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm_2d_pallas(x: Array, weight: Array, bias: Array,
+                         eps: float = 1e-6) -> Array:
+    """Channel-LN over the last axis of NHWC via fused Pallas kernels.
+
+    Requires ``(N*H*W) % 256 == 0`` (the wrapper in ``ops.layernorm``
+    guarantees this before dispatching here).
+    """
+    y, _, _ = _ln_fwd_impl(x, weight, bias, eps)
+    return y
+
+
+def _ln_fwd_impl(x, weight, bias, eps):
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    y, xhat, rstd = _fwd_call(x2, weight, bias, eps)
+    return y.reshape(shape), xhat, rstd
+
+
+def _pallas_fwd(x, weight, bias, eps):
+    y, xhat, rstd = _ln_fwd_impl(x, weight, bias, eps)
+    return y, (xhat, rstd, weight, x.shape)
+
+
+def _pallas_bwd(eps, res, g):
+    xhat, rstd, weight, shape = res
+    c = shape[-1]
+    gx, gw, gb = _bwd_call(g.reshape(-1, c), xhat, rstd, weight)
+    return (gx.reshape(shape), gw.astype(weight.dtype),
+            gb.astype(weight.dtype))
+
+
+layer_norm_2d_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def pallas_ln_supported(x: Array) -> bool:
+    """Shape/backend eligibility for the Pallas LN path."""
+    if x.ndim < 2:
+        return False
+    c = x.shape[-1]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return rows % TILE_R == 0 and 8 <= c <= 1024

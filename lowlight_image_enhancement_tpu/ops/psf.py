@@ -135,6 +135,9 @@ def _expand_kernel(kernel: Array, channels: int) -> Array:
     return jnp.transpose(kernel, (1, 2, 0))[:, :, None, :]
 
 
+_SHIFT_ADD_MAX_TAPS = 49
+
+
 def depthwise_conv(
     x: Array,
     kernel: Array,
@@ -148,6 +151,13 @@ def depthwise_conv(
     no kernel flip). ``padding='zero'|'replicate'|'reflect'`` with SAME
     amounts when ``pad_same`` (otherwise VALID).
 
+    TPU note: XLA lowers a depthwise conv over few channels (C=3 images)
+    catastrophically — 3 of 128 lanes busy, measured >100x slower than
+    roofline. Small kernels are therefore unrolled into kh*kw
+    shift-multiply-adds: pure elementwise VPU work that XLA fuses into one
+    pass over the image regardless of C. Large kernels fall back to
+    ``lax.conv_general_dilated`` at HIGHEST precision.
+
     Args:
       x: ``[N, H, W, C]``.
       kernel: ``[C_k, kh, kw]`` canonical kernel (``C_k in {1, C}``).
@@ -155,13 +165,33 @@ def depthwise_conv(
     if padding not in _PAD_MODES:
         raise ValueError(f"padding must be one of {sorted(_PAD_MODES)}")
     channels = x.shape[-1]
+    kernel = jnp.asarray(kernel)
+    if kernel.ndim == 2:
+        kernel = kernel[None]
+    ck, kh, kw = kernel.shape
+    if ck not in (1, channels):
+        raise ValueError(
+            f"kernel channels ({ck}) must be 1 or match input channels "
+            f"({channels})"
+        )
+
+    if kh * kw <= _SHIFT_ADD_MAX_TAPS:
+        xp = _pad_spatial(x, kh // 2 if pad_same else 0,
+                          kw // 2 if pad_same else 0, padding)
+        h_out = xp.shape[1] - kh + 1
+        w_out = xp.shape[2] - kw + 1
+        taps = kernel.astype(x.dtype)  # [C_k, kh, kw]
+        out = None
+        for di in range(kh):
+            for dj in range(kw):
+                w_tap = taps[:, di, dj]  # [C_k] broadcasts over C
+                term = xp[:, di : di + h_out, dj : dj + w_out, :] * w_tap
+                out = term if out is None else out + term
+        return out
+
     rhs = _expand_kernel(kernel, channels).astype(x.dtype)
-    kh, kw = rhs.shape[0], rhs.shape[1]
     if pad_same:
         x = _pad_spatial(x, kh // 2, kw // 2, padding)
-    # HIGHEST precision: on TPU the default conv precision is bfloat16;
-    # the physics/metric path must be exact fp32 (this 3x3 depthwise conv
-    # is bandwidth-bound, so full precision costs nothing).
     return lax.conv_general_dilated(
         x,
         rhs,

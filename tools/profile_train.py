@@ -4,6 +4,7 @@ vs loss terms vs optimizer. Guides the Pallas/fusion work."""
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -11,6 +12,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +36,16 @@ def timeit(fn, *args, runs=20, warmup=3, **kw):
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset: fwd,gl1,l1_only,l1+phys,"
+                         "l1+deltaE,full")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
     from lowlight_image_enhancement_tpu.losses import HybridLossPlus
     from lowlight_image_enhancement_tpu.models import create_newbp_net
     from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
@@ -53,34 +71,43 @@ def main() -> None:
     variables = net.init(jax.random.PRNGKey(0), x[:1, :64, :64])
     params = variables["params"]
 
-    fwd = jax.jit(lambda p, xx: net.apply({"params": p}, xx))
-    print(f"forward b{n} {s}^2:            {timeit(fwd, params, x):8.2f} ms")
+    if want("fwd"):
+        fwd = jax.jit(lambda p, xx: net.apply({"params": p}, xx))
+        print(f"forward b{n} {s}^2:            "
+              f"{timeit(fwd, params, x):8.2f} ms", flush=True)
 
-    def l1_loss_fn(p, xx, tt):
-        return jnp.mean(jnp.abs(net.apply({"params": p}, xx) - tt))
+    if want("gl1"):
+        def l1_loss_fn(p, xx, tt):
+            return jnp.mean(jnp.abs(net.apply({"params": p}, xx) - tt))
 
-    g_l1 = jax.jit(jax.grad(l1_loss_fn))
-    print(f"grad(L1) fwd+bwd:            {timeit(g_l1, params, x, gt):8.2f} ms")
+        g_l1 = jax.jit(jax.grad(l1_loss_fn))
+        print(f"grad(L1) fwd+bwd:            "
+              f"{timeit(g_l1, params, x, gt):8.2f} ms", flush=True)
 
     losses = {
-        "l1_only": HybridLossPlus(use_perc=False, use_deltaE=False,
-                                  use_ssim=False, use_phys=False),
-        "l1+phys": HybridLossPlus(
+        "l1_only": lambda: HybridLossPlus(
+            use_perc=False, use_deltaE=False, use_ssim=False,
+            use_phys=False),
+        "l1+phys": lambda: HybridLossPlus(
             use_perc=False, use_deltaE=False, use_ssim=False,
             physics_psf_module=create_crosstalk_psf("mono")),
-        "l1+deltaE": HybridLossPlus(use_perc=False, use_deltaE=True,
-                                    use_ssim=False, use_phys=False),
-        "full(bench)": HybridLossPlus(
+        "l1+deltaE": lambda: HybridLossPlus(
+            use_perc=False, use_deltaE=True, use_ssim=False,
+            use_phys=False),
+        "full": lambda: HybridLossPlus(
             use_perc=False, use_deltaE=True, use_ssim=False,
             physics_psf_module=create_crosstalk_psf("mono")),
     }
     tx = make_optimizer(1e-4)
-    for name, loss in losses.items():
+    for name, make_loss in losses.items():
+        if not want(name):
+            continue
+        loss = make_loss()
         state = create_train_state(net, tx, jax.random.PRNGKey(0),
                                    jnp.zeros((1, 64, 64, 3)), loss=loss)
         step = make_train_step(net, loss, tx, donate=False)
         print(f"train_step [{name:12s}]:  "
-              f"{timeit(step, state, batch, runs=10):8.2f} ms")
+              f"{timeit(step, state, batch, runs=10):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
