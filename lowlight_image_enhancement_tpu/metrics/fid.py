@@ -1,0 +1,84 @@
+"""Frechet Inception Distance (stock BasicSR parity).
+
+Rebuild of ``basicsr/metrics/fid.py``: the Frechet distance between
+Gaussian fits of two feature populations,
+
+    FID = |mu1 - mu2|^2 + tr(C1 + C2 - 2 (C1 C2)^{1/2}),
+
+with a **pluggable feature extractor** (the reference uses InceptionV3
+pool3 features; pretrained Inception weights aren't shipped in this image,
+so pass any callable ``images -> [N, D] features`` — e.g. a converted
+Inception, the bundled VGG19 trunk, or precomputed features).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+
+def compute_feature_stats(features: np.ndarray) -> Tuple[np.ndarray,
+                                                         np.ndarray]:
+    """-> (mean [D], covariance [D, D]) of a feature population [N, D]."""
+    features = np.asarray(features, dtype=np.float64)
+    if features.ndim != 2:
+        raise ValueError(f"expected [N, D] features, got {features.shape}")
+    mu = features.mean(axis=0)
+    cov = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(cov)
+
+
+def calculate_fid_from_stats(
+    mu1: np.ndarray, cov1: np.ndarray,
+    mu2: np.ndarray, cov2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """Frechet distance between two Gaussians (reference numerics: sqrtm
+    with eps-jitter retry, imaginary-part stripping)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    cov1, cov2 = np.atleast_2d(cov1), np.atleast_2d(cov2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean, _ = linalg.sqrtm((cov1 + offset) @ (cov2 + offset),
+                                  disp=False)
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError("sqrtm produced significant imaginary part")
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2.0 * np.trace(covmean))
+
+
+def calculate_fid(
+    images1: np.ndarray,
+    images2: np.ndarray,
+    feature_extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    batch_size: int = 32,
+) -> float:
+    """FID between two image sets (NHWC float [0,1]).
+
+    ``feature_extractor(images) -> [N, D]``; required (no pretrained
+    Inception is bundled — see module docstring).
+    """
+    if feature_extractor is None:
+        raise ValueError(
+            "calculate_fid requires a feature_extractor callable "
+            "(images -> [N, D]); pretrained InceptionV3 weights are not "
+            "bundled in this image. Precomputed-feature workflows can use "
+            "compute_feature_stats + calculate_fid_from_stats directly."
+        )
+
+    def extract(images):
+        feats = [
+            np.asarray(feature_extractor(images[i : i + batch_size]))
+            for i in range(0, len(images), batch_size)
+        ]
+        return np.concatenate(feats, axis=0)
+
+    mu1, cov1 = compute_feature_stats(extract(images1))
+    mu2, cov2 = compute_feature_stats(extract(images2))
+    return calculate_fid_from_stats(mu1, cov1, mu2, cov2)

@@ -134,6 +134,54 @@ class NAFBlock(nn.Module):
         return z + y * gamma.astype(self.dtype)
 
 
+class _ScanBody(nn.Module):
+    """scan body: ``(carry, _) -> (carry, None)`` around one NAFBlock."""
+
+    features: int
+    dw_expand: int
+    ffn_expand: int
+    dropout_rate: float
+    dtype: Any
+    tlc_window: Any
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = NAFBlock(
+            self.features, self.dw_expand, self.ffn_expand,
+            self.dropout_rate, self.dtype, self.tlc_window, name="blk",
+        )(carry, deterministic=self.deterministic)
+        return y, None
+
+
+class _ScanNAFBlocks(nn.Module):
+    """``num`` identical NAFBlocks as one ``lax.scan`` over stacked params."""
+
+    features: int
+    num: int
+    dw_expand: int
+    ffn_expand: int
+    dropout_rate: float
+    dtype: Any
+    tlc_window: Any
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scan = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num,
+        )
+        y, _ = scan(
+            self.features, self.dw_expand, self.ffn_expand,
+            self.dropout_rate, self.dtype, self.tlc_window,
+            self.deterministic, name="scan",
+        )(x, None)
+        return y
+
+
 @ARCH_REGISTRY.register()
 class NAFNet(nn.Module):
     """U-shaped NAFNet (reference ``NAFNet_arch.py:83-162``).
@@ -152,10 +200,39 @@ class NAFNet(nn.Module):
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
     tlc_window: Any = None  # Optional[Tuple[int, int]] — TLC local SCA
+    scan_blocks: bool = False
+    """Roll same-shape block stacks into ``jax.lax.scan`` over stacked
+    params. Compiler-friendly control flow: the SID config has 36 NAFBlocks
+    — unrolled they produce a huge HLO (multi-minute XLA compiles at 512^2);
+    scanned, each stage compiles once. Param layout changes from
+    ``enc{i}_blk{j}/...`` to ``enc{i}_blks/...`` with a leading stacked
+    axis (see ``stack_block_params`` for converting unrolled checkpoints)."""
 
     @property
     def padder_size(self) -> int:
         return 2 ** len(self.enc_blk_nums)
+
+    def _block_stack(self, x, num, chan, name, deterministic):
+        """Run ``num`` NAFBlocks — unrolled or as a params-stacked scan."""
+        if not self.scan_blocks:
+            for bi in range(num):
+                x = NAFBlock(
+                    chan, self.dw_expand, self.ffn_expand,
+                    self.dropout_rate, self.dtype, self.tlc_window,
+                    name=f"{name}_blk{bi}",
+                )(x, deterministic=deterministic)
+            return x
+        return _ScanNAFBlocks(
+            features=chan,
+            num=num,
+            dw_expand=self.dw_expand,
+            ffn_expand=self.ffn_expand,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            tlc_window=self.tlc_window,
+            deterministic=deterministic,
+            name=f"{name}_blks",
+        )(x)
 
     @nn.compact
     def __call__(self, inp: Array, *, deterministic: bool = True) -> Array:
@@ -179,46 +256,20 @@ class NAFNet(nn.Module):
         skips = []
         chan = self.width
         for si, num in enumerate(self.enc_blk_nums):
-            for bi in range(num):
-                x = NAFBlock(
-                    chan,
-                    self.dw_expand,
-                    self.ffn_expand,
-                    self.dropout_rate,
-                    self.dtype,
-                    self.tlc_window,
-                    name=f"enc{si}_blk{bi}",
-                )(x, deterministic=deterministic)
+            x = self._block_stack(x, num, chan, f"enc{si}", deterministic)
             skips.append(x)
             x = conv(2 * chan, 2, f"down{si}", strides=2)(x)
             chan *= 2
 
-        for bi in range(self.middle_blk_num):
-            x = NAFBlock(
-                chan,
-                self.dw_expand,
-                self.ffn_expand,
-                self.dropout_rate,
-                self.dtype,
-                self.tlc_window,
-                name=f"mid_blk{bi}",
-            )(x, deterministic=deterministic)
+        x = self._block_stack(x, self.middle_blk_num, chan, "mid",
+                              deterministic)
 
         for si, num in enumerate(self.dec_blk_nums):
             x = conv(2 * chan, 1, f"up{si}", use_bias=False)(x)
             x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + skips[-(si + 1)]
-            for bi in range(num):
-                x = NAFBlock(
-                    chan,
-                    self.dw_expand,
-                    self.ffn_expand,
-                    self.dropout_rate,
-                    self.dtype,
-                    self.tlc_window,
-                    name=f"dec{si}_blk{bi}",
-                )(x, deterministic=deterministic)
+            x = self._block_stack(x, num, chan, f"dec{si}", deterministic)
 
         x = conv(self.img_channel, 3, "ending")(x)
         x = x + inp.astype(self.dtype)
@@ -232,6 +283,50 @@ class NAFNet(nn.Module):
         if ph == 0 and pw == 0:
             return x
         return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def stack_block_params(params):
+    """Convert an **unrolled** NAFNet param tree (``enc0_blk0`` ...) into
+    the **scanned** layout (``enc0_blks/scan/blk`` with a stacked leading
+    axis), so checkpoints trained either way interoperate."""
+    import re
+
+    import jax
+
+    out = {}
+    groups: dict = {}
+    for key, sub in params.items():
+        m = re.fullmatch(r"(enc\d+|dec\d+|mid)_blk(\d+)", key)
+        if not m:
+            out[key] = sub
+            continue
+        groups.setdefault(m.group(1), {})[int(m.group(2))] = sub
+    for stage, blocks in groups.items():
+        ordered = [blocks[i] for i in range(len(blocks))]
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *ordered
+        )
+        out[f"{stage}_blks"] = {"scan": {"blk": stacked}}
+    return out
+
+
+def unstack_block_params(params):
+    """Inverse of :func:`stack_block_params`."""
+    import jax
+
+    out = {}
+    for key, sub in params.items():
+        if not key.endswith("_blks"):
+            out[key] = sub
+            continue
+        stage = key[: -len("_blks")]
+        stacked = sub["scan"]["blk"]
+        num = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        for i in range(num):
+            out[f"{stage}_blk{i}"] = jax.tree_util.tree_map(
+                lambda leaf, i=i: leaf[i], stacked
+            )
+    return out
 
 
 @ARCH_REGISTRY.register(name="NAFNetLocal")

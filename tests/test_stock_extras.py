@@ -1,0 +1,142 @@
+"""Stock-parity extras: misc utils, NIQE feature math, FID."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lowlight_image_enhancement_tpu.metrics.fid import (
+    calculate_fid,
+    calculate_fid_from_stats,
+    compute_feature_stats,
+)
+from lowlight_image_enhancement_tpu.metrics.niqe import (
+    _estimate_aggd,
+    _estimate_ggd,
+    _mscn,
+    calculate_niqe,
+    compute_niqe_features,
+)
+from lowlight_image_enhancement_tpu.utils.misc import (
+    check_resume,
+    make_exp_dirs,
+    mkdir_and_rename,
+    scandir,
+    set_random_seed,
+    sizeof_fmt,
+)
+
+
+class TestMiscUtils:
+    def test_set_random_seed_reproducible(self):
+        set_random_seed(3)
+        a = np.random.rand(4)
+        set_random_seed(3)
+        b = np.random.rand(4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_mkdir_and_rename_archives(self, tmp_path):
+        p = str(tmp_path / "exp")
+        os.makedirs(p)
+        (tmp_path / "exp" / "marker.txt").write_text("x")
+        mkdir_and_rename(p)
+        assert os.path.isdir(p)
+        archived = [d for d in os.listdir(tmp_path) if "archived" in d]
+        assert len(archived) == 1
+
+    def test_make_exp_dirs(self, tmp_path):
+        opt = {"is_train": True, "path": {
+            "experiments_root": str(tmp_path / "exp"),
+            "models": str(tmp_path / "exp/models"),
+            "training_states": str(tmp_path / "exp/states"),
+            "pretrain_network_g": "/nonexistent/ok",
+        }}
+        make_exp_dirs(opt)
+        assert os.path.isdir(tmp_path / "exp/models")
+        assert os.path.isdir(tmp_path / "exp/states")
+
+    def test_scandir(self, tmp_path):
+        (tmp_path / "a.png").write_text("")
+        (tmp_path / "b.txt").write_text("")
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "sub" / "c.png").write_text("")
+        assert sorted(scandir(str(tmp_path), suffix=".png")) == ["a.png"]
+        assert sorted(scandir(str(tmp_path), suffix=".png",
+                              recursive=True)) == ["a.png",
+                                                   os.path.join("sub",
+                                                                "c.png")]
+
+    def test_check_resume_rewrites_paths(self):
+        opt = {"path": {"resume_state": "some.state", "models": "/m",
+                        "pretrain_network_g": "old"}}
+        check_resume(opt, 42)
+        assert opt["path"]["pretrain_network_g"] == "/m/net_g_00000042"
+
+    def test_sizeof_fmt(self):
+        assert sizeof_fmt(1024) == "1.0 KB"
+        assert sizeof_fmt(1536 * 1024) == "1.5 MB"
+
+
+class TestNiqe:
+    def test_ggd_estimates_gaussian_alpha_2(self, rng):
+        x = rng.standard_normal(50000)
+        alpha, sigma_sq = _estimate_ggd(x)
+        assert 1.7 < alpha < 2.3
+        np.testing.assert_allclose(sigma_sq, 1.0, atol=0.05)
+
+    def test_ggd_laplacian_alpha_1(self, rng):
+        x = rng.laplace(size=50000)
+        alpha, _ = _estimate_ggd(x)
+        assert 0.8 < alpha < 1.2
+
+    def test_aggd_symmetric(self, rng):
+        x = rng.standard_normal(50000)
+        alpha, beta_l, beta_r = _estimate_aggd(x)
+        np.testing.assert_allclose(beta_l, beta_r, rtol=0.1)
+
+    def test_mscn_whitens(self, rng):
+        img = rng.uniform(0, 255, (128, 128))
+        m = _mscn(img)
+        assert abs(m.mean()) < 0.2
+        assert m.std() < 2.0
+
+    def test_feature_vector_length(self, rng):
+        f = compute_niqe_features(rng.standard_normal((96, 96)))
+        assert f.shape == (18,)
+
+    def test_missing_params_raise(self, rng):
+        img = rng.uniform(0, 255, (192, 192))
+        with pytest.raises(FileNotFoundError, match="NIQE"):
+            calculate_niqe(img)
+
+
+class TestFid:
+    def test_identical_populations_zero(self, rng):
+        f = rng.standard_normal((200, 16))
+        mu, cov = compute_feature_stats(f)
+        assert calculate_fid_from_stats(mu, cov, mu, cov) < 1e-6
+
+    def test_shifted_population_positive(self, rng):
+        f1 = rng.standard_normal((500, 8))
+        f2 = rng.standard_normal((500, 8)) + 2.0
+        mu1, c1 = compute_feature_stats(f1)
+        mu2, c2 = compute_feature_stats(f2)
+        fid = calculate_fid_from_stats(mu1, c1, mu2, c2)
+        assert fid > 8 * 3.0  # ~ |shift|^2 per dim
+
+    def test_extractor_required(self, rng):
+        imgs = rng.uniform(0, 1, (4, 8, 8, 3))
+        with pytest.raises(ValueError, match="feature_extractor"):
+            calculate_fid(imgs, imgs)
+
+    def test_with_trivial_extractor(self, rng):
+        imgs1 = rng.uniform(0, 1, (64, 8, 8, 3))
+        imgs2 = rng.uniform(0, 1, (64, 8, 8, 3))
+
+        def extractor(batch):
+            return batch.reshape(len(batch), -1)[:, :10]
+
+        fid_same = calculate_fid(imgs1, imgs1, extractor)
+        fid_diff = calculate_fid(imgs1, imgs2 * 0.5, extractor)
+        assert fid_same < 1e-6
+        assert fid_diff > fid_same
