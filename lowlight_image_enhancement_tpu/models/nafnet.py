@@ -207,6 +207,11 @@ class NAFNet(nn.Module):
     scanned, each stage compiles once. Param layout changes from
     ``enc{i}_blk{j}/...`` to ``enc{i}_blks/...`` with a leading stacked
     axis (see ``stack_block_params`` for converting unrolled checkpoints)."""
+    remat_blocks: bool = False
+    """Apply ``jax.checkpoint`` to every NAFBlock: the backward recomputes
+    block internals from the block input instead of reloading saved
+    intermediates from HBM. On TPU this trades idle MXU/VPU FLOPs for HBM
+    bandwidth — the binding resource for this small-channel CNN."""
 
     @property
     def padder_size(self) -> int:
@@ -214,9 +219,11 @@ class NAFNet(nn.Module):
 
     def _block_stack(self, x, num, chan, name, deterministic):
         """Run ``num`` NAFBlocks — unrolled or as a params-stacked scan."""
+        block_cls = (nn.remat(NAFBlock, static_argnums=())
+                     if self.remat_blocks else NAFBlock)
         if not self.scan_blocks:
             for bi in range(num):
-                x = NAFBlock(
+                x = block_cls(
                     chan, self.dw_expand, self.ffn_expand,
                     self.dropout_rate, self.dtype, self.tlc_window,
                     name=f"{name}_blk{bi}",
