@@ -126,12 +126,16 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     pixel_loss: Optional[Callable] = None,
     donate: bool = True,
+    mixup_alpha: Optional[float] = None,
+    seed: int = 0,
 ) -> Callable[[TrainState, Mapping[str, Array]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
     Returns ``train_step(state, batch) -> (new_state, logs)``. ``batch`` is
     a dict with at least ``lq`` and ``gt`` (NHWC); optional keys
     ``short_raw/long_raw/short_obs/expo_ratio`` refine the physics wiring.
+    ``mixup_alpha`` enables batch mixup (reference ``train.mixup``) with a
+    per-step key derived from ``seed`` and the step counter.
     """
 
     def loss_fn(trainable, batch):
@@ -153,6 +157,13 @@ def make_train_step(
         return total, logs
 
     def train_step(state: TrainState, batch: Mapping[str, Array]):
+        if mixup_alpha:
+            from lowlight_image_enhancement_tpu.training.augment import (
+                mixup_batch,
+            )
+
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            batch = mixup_batch(rng, batch, alpha=mixup_alpha)
         trainable = {"params": state.params, "log_sigma": state.log_sigma}
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, batch

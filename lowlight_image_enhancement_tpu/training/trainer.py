@@ -147,8 +147,13 @@ class Trainer:
             loss=self.loss,
         )
         self.total_iters = int(train_opt.get("total_iter", 1000))
-        self.step_fn = make_train_step(self.net, self.loss, self.optimizer,
-                                       pixel_loss=self.pixel_loss)
+        mixup = train_opt.get("mixup", False)
+        self.step_fn = make_train_step(
+            self.net, self.loss, self.optimizer,
+            pixel_loss=self.pixel_loss,
+            mixup_alpha=(1.2 if mixup is True else mixup) or None,
+            seed=seed,
+        )
         self.eval_fn = make_eval_step(self.net)
 
         # --- resume ---------------------------------------------------
@@ -246,6 +251,8 @@ class Trainer:
             metrics_opt,
             tile_size=val_opt.get("crop_size"),
             max_images=val_opt.get("max_images"),
+            save_dir=(self.opt.get("path", {}).get("visualization")
+                      if val_opt.get("save_img") else None),
         )
 
 

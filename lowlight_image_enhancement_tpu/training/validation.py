@@ -102,6 +102,18 @@ def compute_metrics(
     return results
 
 
+def save_result_image(path: str, img: Array) -> None:
+    """Write an NHWC float [0,1] result as an 8-bit PNG (BGR on disk)."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.clip(np.asarray(img)[0], 0.0, 1.0)
+    cv2.imwrite(path, (arr[..., ::-1] * 255.0 + 0.5).astype("uint8"))
+
+
 def validate(
     forward: Callable[[Array], Array],
     loader: Iterable[Mapping[str, Any]],
@@ -109,23 +121,31 @@ def validate(
     tile_size: Optional[int] = None,
     overlap_ratio: float = 0.5,
     max_images: Optional[int] = None,
+    save_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run validation over a loader of batch dicts with ``lq``/``gt``.
 
     Returns metric means over all images (host aggregation — the
     TPU-native stand-in for the reference's ``dist.reduce`` to rank 0).
+    With ``save_dir``, result images are written as PNGs (the reference's
+    ``save_img`` path).
     """
     sums: Dict[str, float] = {}
     count = 0
     for batch in loader:
         lq = jnp.asarray(batch["lq"])
         gt = jnp.asarray(batch["gt"])
+        names = batch.get("pair_id")
         for i in range(lq.shape[0]):
             img = lq[i : i + 1]
             if tile_size:
                 sr = tiled_inference(forward, img, tile_size, overlap_ratio)
             else:
                 sr = forward(img)
+            if save_dir:
+                name = (names[i] if names is not None
+                        else f"img_{count:05d}")
+                save_result_image(f"{save_dir}/{name}.png", sr)
             per = compute_metrics(sr, gt[i : i + 1], metrics_opt)
             for k, v in per.items():
                 sums[k] = sums.get(k, 0.0) + v
