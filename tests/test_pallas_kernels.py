@@ -27,9 +27,10 @@ def lnp(rng):
 
 class TestPallasLayerNorm:
     def test_supported_predicate(self):
-        assert pallas_ln_supported(jnp.zeros((1, 16, 16, 32)))
-        assert not pallas_ln_supported(jnp.zeros((1, 5, 5, 32)))  # 25 rows
-        assert not pallas_ln_supported(jnp.zeros((1, 16, 16, 4)))  # C < 8
+        # C >= 128 threshold from the measured XLA-vs-Pallas crossover
+        assert pallas_ln_supported(jnp.zeros((1, 16, 16, 128)))
+        assert not pallas_ln_supported(jnp.zeros((1, 16, 16, 32)))
+        assert not pallas_ln_supported(jnp.zeros((1, 5, 5, 128)))  # 25 rows
 
     def test_forward_parity(self, lnp):
         x, w, b = lnp
