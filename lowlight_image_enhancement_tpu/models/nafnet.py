@@ -73,6 +73,34 @@ def pixel_shuffle(x: Array, r: int = 2) -> Array:
     return x.reshape(n, h * r, w * r, c)
 
 
+class _DepthwiseShiftAdd(nn.Module):
+    """3x3 depthwise conv lowered as 9 shift-multiply-adds.
+
+    Same param names/shapes as ``nn.Conv(features, (3,3),
+    feature_group_count=features)`` — HWIO ``kernel`` [3,3,1,C] + ``bias``
+    [C] — so checkpoints interoperate with the grouped-conv lowering.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: Array) -> Array:
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        taps = k[:, :, 0, :].astype(self.dtype)  # [3, 3, C]
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, w = y.shape[1], y.shape[2]
+        out = None
+        for di in range(3):
+            for dj in range(3):
+                term = yp[:, di : di + h, dj : dj + w, :] * taps[di, dj]
+                out = term if out is None else out + term
+        return out + b.astype(self.dtype)
+
+
 class NAFBlock(nn.Module):
     """The NAFNet block (reference ``NAFNet_arch.py:27-80``).
 
@@ -86,6 +114,20 @@ class NAFBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
     tlc_window: Any = None  # Optional[Tuple[int, int]]
+    dw_shift_add: bool = False
+    """Lower the 3x3 depthwise conv as 9 shift-multiply-adds (elementwise
+    VPU work) instead of a grouped convolution. Param tree is identical
+    (same HWIO [3,3,1,C] kernel + bias), so checkpoints interoperate."""
+
+    def _depthwise3x3(self, y: Array, dw: int) -> Array:
+        """3x3 depthwise conv named ``conv2``, grouped-conv or shift-add."""
+        if not self.dw_shift_add:
+            return nn.Conv(
+                features=dw, kernel_size=(3, 3), padding="SAME",
+                feature_group_count=dw, dtype=self.dtype,
+                param_dtype=jnp.float32, name="conv2",
+            )(y)
+        return _DepthwiseShiftAdd(dw, self.dtype, name="conv2")(y)
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
@@ -105,7 +147,7 @@ class NAFBlock(nn.Module):
         inp = x
         y = LayerNorm2d(c, name="norm1")(x).astype(self.dtype)
         y = conv(dw, 1, "conv1")(y)
-        y = conv(dw, 3, "conv2", grouped=True)(y)  # 3x3 depthwise
+        y = self._depthwise3x3(y, dw)  # 3x3 depthwise
         y = simple_gate(y)
         # Simplified Channel Attention: global mean -> 1x1 -> scale.
         # With TLC, the mean is windowed (per-pixel local statistics).
@@ -144,12 +186,14 @@ class _ScanBody(nn.Module):
     dtype: Any
     tlc_window: Any
     deterministic: bool
+    dw_shift_add: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         y = NAFBlock(
             self.features, self.dw_expand, self.ffn_expand,
-            self.dropout_rate, self.dtype, self.tlc_window, name="blk",
+            self.dropout_rate, self.dtype, self.tlc_window,
+            self.dw_shift_add, name="blk",
         )(carry, deterministic=self.deterministic)
         return y, None
 
@@ -165,6 +209,7 @@ class _ScanNAFBlocks(nn.Module):
     dtype: Any
     tlc_window: Any
     deterministic: bool
+    dw_shift_add: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -177,7 +222,7 @@ class _ScanNAFBlocks(nn.Module):
         y, _ = scan(
             self.features, self.dw_expand, self.ffn_expand,
             self.dropout_rate, self.dtype, self.tlc_window,
-            self.deterministic, name="scan",
+            self.deterministic, self.dw_shift_add, name="scan",
         )(x, None)
         return y
 
@@ -212,6 +257,9 @@ class NAFNet(nn.Module):
     block internals from the block input instead of reloading saved
     intermediates from HBM. On TPU this trades idle MXU/VPU FLOPs for HBM
     bandwidth — the binding resource for this small-channel CNN."""
+    dw_shift_add: bool = False
+    """Lower NAFBlock 3x3 depthwise convs as shift-multiply-adds (see
+    ``_DepthwiseShiftAdd``); param-tree identical to the grouped conv."""
 
     @property
     def padder_size(self) -> int:
@@ -226,6 +274,7 @@ class NAFNet(nn.Module):
                 x = block_cls(
                     chan, self.dw_expand, self.ffn_expand,
                     self.dropout_rate, self.dtype, self.tlc_window,
+                    self.dw_shift_add,
                     name=f"{name}_blk{bi}",
                 )(x, deterministic=deterministic)
             return x
@@ -238,6 +287,7 @@ class NAFNet(nn.Module):
             dtype=self.dtype,
             tlc_window=self.tlc_window,
             deterministic=deterministic,
+            dw_shift_add=self.dw_shift_add,
             name=f"{name}_blks",
         )(x)
 

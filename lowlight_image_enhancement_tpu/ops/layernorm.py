@@ -46,7 +46,9 @@ def _ln_fwd_impl(x, weight, bias, eps):
     rstd = jax.lax.rsqrt(var + eps)
     xhat = xc * rstd
     y = xhat * weight.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype), (xhat, rstd, weight)
+    # residual xhat stored in the activation dtype: halves the saved-
+    # activation HBM traffic under bf16 training; backward re-promotes.
+    return y.astype(x.dtype), (xhat.astype(x.dtype), rstd, weight)
 
 
 def _ln_fwd(x, weight, bias, eps):
@@ -56,6 +58,7 @@ def _ln_fwd(x, weight, bias, eps):
 
 def _ln_bwd(eps, res, g):
     xhat, rstd, weight = res
+    xhat = xhat.astype(jnp.float32)
     gf = g.astype(jnp.float32)
     c = xhat.shape[-1]
     # d/dxhat = g * w; standard LN backward over the channel axis:
