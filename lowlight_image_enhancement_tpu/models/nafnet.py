@@ -255,11 +255,15 @@ class NAFNet(nn.Module):
     remat_blocks: bool = False
     """Apply ``jax.checkpoint`` to every NAFBlock: the backward recomputes
     block internals from the block input instead of reloading saved
-    intermediates from HBM. On TPU this trades idle MXU/VPU FLOPs for HBM
-    bandwidth — the binding resource for this small-channel CNN."""
+    intermediates. Measured on v5e at SID 512^2: 216 ms/step vs 137 —
+    the recompute is itself bandwidth-bound here, so keep False unless
+    memory-limited (e.g. much larger batches/crops)."""
     dw_shift_add: bool = False
     """Lower NAFBlock 3x3 depthwise convs as shift-multiply-adds (see
-    ``_DepthwiseShiftAdd``); param-tree identical to the grouped conv."""
+    ``_DepthwiseShiftAdd``); param-tree identical to the grouped conv.
+    Measured on v5e at SID 512^2: 202 ms/step vs 137 ms/step for XLA's
+    grouped-conv lowering — keep False; the option exists for other
+    chip generations / channel widths."""
 
     @property
     def padder_size(self) -> int:
