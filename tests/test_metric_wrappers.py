@@ -1,0 +1,195 @@
+"""Metric wrapper / infrastructure tests: LPIPS evaluators, functional
+lpips_srgb, FLOPs counter, inference timer, metric registry bridge names,
+aggregate evaluation loop, NIQE end-to-end with a fitted pristine model."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowlight_image_enhancement_tpu.metrics import (
+    FLOPsCounter,
+    count_flops,
+    measure_inference_time,
+)
+from lowlight_image_enhancement_tpu.metrics.evaluation import compute_metrics
+from lowlight_image_enhancement_tpu.metrics.lpips_metric import (
+    LPIPSEvaluator,
+    LPIPSMetric,
+)
+from lowlight_image_enhancement_tpu.metrics.perceptual import lpips_srgb
+from lowlight_image_enhancement_tpu.utils.registry import METRIC_REGISTRY
+
+
+@pytest.fixture
+def pair(rng):
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32),
+                0, 1)
+    return a, b
+
+
+class TestLpipsWrappers:
+    def test_metric_monotone_and_metadata(self, pair):
+        a, b = pair
+        m = LPIPSMetric(net="alex")
+        d_same = m.distance(a, a)
+        d_diff = m.distance(a, b)
+        assert d_same < 1e-6
+        assert d_diff > d_same
+        res = m.evaluate(a, b)
+        assert res["config"]["net"] == "alex"
+        assert "pretrained" in res["config"]
+
+    def test_range_mapping_invariance(self, pair):
+        """[0,1] and [0,255] inputs map to the same distance."""
+        a, b = pair
+        m = LPIPSMetric(net="alex")
+        d01 = m.distance(a, b)
+        d255 = m.distance(a * 255.0, b * 255.0)
+        np.testing.assert_allclose(d01, d255, rtol=1e-4)
+
+    def test_gray_promotion_and_min_size(self, rng):
+        m = LPIPSMetric(net="alex")
+        g = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+        assert np.isfinite(m.distance(g, g * 0.9))
+        with pytest.raises(ValueError, match="16x16"):
+            m.distance(np.zeros((1, 8, 8, 3), np.float32),
+                       np.zeros((1, 8, 8, 3), np.float32))
+
+    def test_align_policies(self, rng):
+        a = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        b = rng.uniform(0, 1, (1, 40, 36, 3)).astype(np.float32)
+        with pytest.raises(ValueError):
+            LPIPSMetric(net="alex").distance(a, b)
+        for policy in ("center_crop", "resize"):
+            v = LPIPSMetric(net="alex",
+                            align_policy=policy).distance(a, b)
+            assert np.isfinite(v)
+
+    def test_legacy_evaluator(self, pair):
+        a, b = pair
+        assert LPIPSEvaluator(net="alex")(a, b) >= 0
+
+    def test_functional_lpips_srgb(self, pair):
+        a, b = pair
+        scores = lpips_srgb(a, b, net="alex")
+        assert scores.shape == (2,)
+        maps = lpips_srgb(a, b, net="alex", spatial=True)
+        assert maps.shape == (2, 32, 32)
+
+    def test_lpips_srgb_validation(self, pair):
+        a, b = pair
+        bad = a.copy()
+        bad[0, 0, 0, 0] = np.nan
+        with pytest.raises(ValueError, match="finite"):
+            lpips_srgb(bad, b)
+
+
+class TestFlopsAndLatency:
+    def test_flops_conventions_factor_two(self):
+        def f(x):
+            return x @ x
+
+        x = jnp.ones((64, 64))
+        fma = FLOPsCounter("fvcore_fma1").count(f, x)
+        two = FLOPsCounter("flops_2xmac").count(f, x)
+        assert two.total == pytest.approx(2 * fma.total)
+        # 64^3 MACs
+        assert fma.total == pytest.approx(64**3, rel=0.1)
+        assert fma.metadata["backend"] == "xla_cost_analysis"
+
+    def test_count_flops_units(self):
+        def f(x):
+            return x @ x
+
+        res = count_flops(f, jnp.ones((128, 128)))
+        assert res["flops_M"] == pytest.approx(res["flops"] / 1e6)
+
+    def test_per_sample(self):
+        def f(x):
+            return jnp.einsum("bij,jk->bik", x, jnp.ones((32, 32)))
+
+        r = FLOPsCounter().count(f, jnp.ones((4, 32, 32)),
+                                 per_sample_batch=4)
+        assert r.per_sample == pytest.approx(r.total / 4)
+
+    def test_measure_inference_time_contract(self):
+        f = jax.jit(lambda x: x * 2.0)
+        res = measure_inference_time(f, jnp.ones((8, 8)), warmup=2, runs=5,
+                                     batch_size=2)
+        assert res["ms_per_image"] == pytest.approx(
+            res["ms_per_batch"] / 2)
+        with pytest.raises(ValueError):
+            measure_inference_time(f, jnp.ones((4,)), runs=0)
+
+
+class TestRegistryBridge:
+    def test_bridge_names_registered(self):
+        for name in ("linear_psnr", "linear_ssim", "lpips_distance",
+                     "deltae2000_mean", "deltae2000_p95",
+                     "edge_deltae2000_mean"):
+            assert name in METRIC_REGISTRY
+
+    def test_bridge_callable(self, pair):
+        a, b = pair
+        v = METRIC_REGISTRY.get("linear_psnr")(a, b, data_range=1.0)
+        assert np.isfinite(v)
+
+
+class TestEvaluationAggregate:
+    def test_compute_metrics_loop(self, rng):
+        from lowlight_image_enhancement_tpu.ops.psf import build_psf_kernels
+
+        batches = []
+        for _ in range(2):
+            gt = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+            lq = np.clip(gt + 0.05, 0, 1)
+            batches.append({"lq": lq, "gt": gt, "short_raw": lq / 5.0,
+                            "expo_ratio": np.float32(5.0)})
+        results = compute_metrics(
+            lambda x: x,  # identity "model"
+            batches,
+            psf_kernel=build_psf_kernels("mono", "P2"),
+            use_lpips=True,
+            lpips_net="alex",
+        )
+        assert {"psnr", "ssim", "deltaE_mean", "deltaE_p95",
+                "edge_deltaE_mean", "rgb_psnr_mean", "lpips",
+                "phys_mae"} <= set(results)
+        assert all(np.isfinite(v) for v in results.values())
+
+
+class TestNiqeEndToEnd:
+    def test_fitted_pristine_model_ranks_noise(self, tmp_path, rng):
+        """Fit a pristine model from smooth synthetic images; heavy noise
+        must score worse (higher NIQE) than a pristine-like image."""
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from make_niqe_params import features_of_image, fit_pristine_model
+
+        from lowlight_image_enhancement_tpu.metrics.niqe import (
+            calculate_niqe,
+        )
+
+        def smooth_image(seed):
+            r = np.random.default_rng(seed)
+            base = r.uniform(50, 200, (6, 6))
+            img = np.kron(base, np.ones((32, 32)))
+            return img + r.normal(0, 2.0, img.shape)
+
+        feats = np.concatenate(
+            [features_of_image(smooth_image(s)) for s in range(6)], axis=0
+        )
+        mu, cov = fit_pristine_model(feats)
+        params_path = str(tmp_path / "pris.npz")
+        np.savez(params_path, mu_pris_param=mu, cov_pris_param=cov)
+
+        clean = smooth_image(99)
+        noisy = clean + np.random.default_rng(1).normal(0, 60, clean.shape)
+        n_clean = calculate_niqe(clean, pris_params_path=params_path)
+        n_noisy = calculate_niqe(noisy, pris_params_path=params_path)
+        assert n_noisy > n_clean
