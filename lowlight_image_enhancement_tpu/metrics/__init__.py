@@ -110,3 +110,29 @@ def deltae2000_p95(sr, gt, **kwargs) -> float:
 @METRIC_REGISTRY.register()
 def edge_deltae2000_mean(sr, gt, edge_quantile: float = 0.85, **kwargs) -> float:
     return edge_deltaE2000(sr, gt, edge_quantile=edge_quantile)["mean"]
+
+
+# Image-domain (uint8, MATLAB-convention) metric names used by the stock
+# ``use_image: true`` validation path (reference ``calculate_psnr/ssim``).
+@METRIC_REGISTRY.register(name="psnr")
+def image_psnr(sr, gt, crop_border: int = 0, test_y_channel: bool = False,
+               **kwargs) -> float:
+    vals = [
+        calculate_psnr_img(np.asarray(sr)[i], np.asarray(gt)[i],
+                           crop_border=crop_border,
+                           test_y_channel=test_y_channel)
+        for i in range(np.asarray(sr).shape[0])
+    ]
+    return float(np.mean(vals))
+
+
+@METRIC_REGISTRY.register(name="ssim")
+def image_ssim(sr, gt, crop_border: int = 0, test_y_channel: bool = False,
+               **kwargs) -> float:
+    vals = [
+        calculate_ssim_img(np.asarray(sr)[i], np.asarray(gt)[i],
+                           crop_border=crop_border,
+                           test_y_channel=test_y_channel)
+        for i in range(np.asarray(sr).shape[0])
+    ]
+    return float(np.mean(vals))

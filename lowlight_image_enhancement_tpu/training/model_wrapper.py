@@ -162,6 +162,8 @@ class ImageRestorationModel(_BaseWrapper):
         )
 
     def test(self, max_minibatch: Optional[int] = None) -> None:
+        if self._grids_meta:  # reference: grids() then test() runs tiled
+            return self.test_grids()
         lq = self.batch["lq"]
         m = max_minibatch or lq.shape[0]
         outs = [
