@@ -75,12 +75,66 @@ def restore_training_state(path: str, template: TrainState) -> TrainState:
     return jax.tree_util.tree_map(jax.numpy.asarray, restored)
 
 
-def restore_network(path: str, params_template: Any) -> Any:
-    """Restore a params-only checkpoint."""
-    restored = _ckptr().restore(
-        os.path.abspath(path), item=jax.device_get(params_template)
-    )
-    return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+def restore_network(path: str, params_template: Any,
+                    strict: bool = True) -> Any:
+    """Restore a params-only checkpoint.
+
+    ``strict=False`` mirrors the reference's tolerant ``load_network``
+    (``base_model.py:262-287``): parameters present in both trees with
+    matching shapes load; missing keys keep the template's values and
+    shape mismatches are skipped with a warning.
+    """
+    if strict:
+        restored = _ckptr().restore(
+            os.path.abspath(path), item=jax.device_get(params_template)
+        )
+        return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+    restored_raw = _ckptr().restore(os.path.abspath(path))
+    return merge_params(params_template, restored_raw)
+
+
+def merge_params(template: Any, restored: Any) -> Any:
+    """Non-strict merge: copy leaves from ``restored`` into ``template``
+    where paths exist and shapes match; warn on skips."""
+    import warnings
+
+    import numpy as np
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    flat_t = {
+        tuple(str(p.key) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(template)[0]
+    }
+    flat_r = {
+        tuple(str(p.key) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(restored)[0]
+    }
+    merged = dict(flat_t)
+    skipped = []
+    for key, leaf in flat_r.items():
+        if key not in flat_t:
+            skipped.append(("unexpected", key))
+            continue
+        if np.shape(flat_t[key]) != np.shape(leaf):
+            skipped.append(("shape-mismatch", key))
+            continue
+        merged[key] = jax.numpy.asarray(leaf)
+    for key in flat_t:
+        if key not in flat_r:
+            skipped.append(("missing", key))
+    if skipped:
+        warnings.warn(
+            f"non-strict load skipped {len(skipped)} entries "
+            f"(first few: {skipped[:4]})", stacklevel=2,
+        )
+    # rebuild the tree structure from the template
+    treedef = jax.tree_util.tree_structure(template)
+    paths = [
+        tuple(str(p.key) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(template)[0]
+    ]
+    leaves = [merged[p] for p in paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def auto_resume(root: str, template: TrainState) -> Optional[TrainState]:
