@@ -15,6 +15,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -94,7 +95,9 @@ class NativeSidPack:
             handle = self._lib.sp_open(path.encode())
             if handle:
                 self._handle = ctypes.c_void_p(handle)
-        self._scratch: Optional[np.ndarray] = None
+        # scratch is thread-local: data loaders (grain, thread pools)
+        # decode concurrently, and a shared inflate target corrupts
+        self._tls = threading.local()
 
     @property
     def uses_native(self) -> bool:
@@ -148,9 +151,11 @@ class NativeSidPack:
         scratch_ptr = None
         if comp:
             need = h * w * c
-            if self._scratch is None or self._scratch.size < need:
-                self._scratch = np.empty(need, np.uint16)
-            scratch_ptr = self._scratch.ctypes.data_as(ctypes.c_void_p)
+            scratch = getattr(self._tls, "scratch", None)
+            if scratch is None or scratch.size < need:
+                scratch = np.empty(need, np.uint16)
+                self._tls.scratch = scratch
+            scratch_ptr = scratch.ctypes.data_as(ctypes.c_void_p)
         rc = self._lib.sp_decode_crop_f32(
             self._handle, ent["offset"], ent["nbytes"], comp,
             h, w, c, top, left, ph, pw,

@@ -49,13 +49,15 @@ class TestGrainLoader:
         assert ids1 == ids2
 
     def test_host_sharding(self, dataset):
+        """grain shards the 12 records across hosts (6 each), each host
+        batching at the local size (global 4 / 2 hosts = 2)."""
         per_host = []
         for host in (0, 1):
             loader = make_grain_loader(dataset, 4, shuffle=False,
                                        num_epochs=1, num_hosts=2,
                                        host_id=host)
             per_host.append(sum(b["lq"].shape[0] for b in loader))
-        assert per_host == [12, 12]
+        assert per_host == [6, 6]
 
     def test_bad_host_split(self, dataset):
         with pytest.raises(ValueError):
