@@ -93,17 +93,18 @@ def linear_decay(base_lr: float, total_iter: int) -> optax.Schedule:
 
 
 def vibrate(base_lr: float, total_iter: int) -> optax.Schedule:
-    """Reference ``VibrateLR``: decaying triangular oscillation."""
+    """Reference ``VibrateLR``: a triangular oscillation with period
+    ``total_iter/80`` whose envelope decays linearly early in training
+    (0.1 - 0.25*progress) and floors at 0.01."""
+    period = max(total_iter // 80, 2)
+    half = max(period // 2, 1)
 
     def schedule(step):
         frac = step / total_iter
-        f = jnp.where(frac < 3.0 / 8.0, 0.1 - 0.25 * frac, 0.01)
-        T = total_iter // 80
-        T = max(T, 1)
-        th = step % T
-        f2 = th / (T // 2) if T // 2 > 0 else 1.0
-        f2 = jnp.where(th >= T // 2, 2.0 - (th / max(T // 2, 1)), th / max(T // 2, 1))
-        return base_lr * f * f2
+        envelope = jnp.maximum(0.1 - 0.25 * frac, 0.01)
+        th = step % period
+        tri = jnp.where(th < half, th / half, 2.0 - th / half)
+        return base_lr * envelope * tri
 
     return schedule
 

@@ -184,3 +184,15 @@ class TestSchedules:
              "restart_weights": [1.0, 0.5]}, base_lr=1.0)
         np.testing.assert_allclose(float(s(0)), 1.0, rtol=1e-5)
         np.testing.assert_allclose(float(s(10)), 0.5, rtol=1e-5)  # restart
+
+    def test_vibrate(self):
+        s = make_schedule({"type": "VibrateLR", "total_iter": 800},
+                          base_lr=1.0)
+        period = 10  # 800 // 80
+        vals = [float(s(i)) for i in range(2 * period)]
+        assert all(v >= 0 for v in vals)
+        # triangular: rises then falls within a period
+        assert vals[period // 2] > vals[1] > vals[0]
+        assert vals[period // 2] > vals[period - 1]
+        # envelope decays across training
+        assert float(s(5)) > float(s(405))
