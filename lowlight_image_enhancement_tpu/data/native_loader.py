@@ -70,6 +70,16 @@ def _load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.sp_decode_crop_batch_f32.restype = ctypes.c_int
+    lib.sp_decode_crop_batch_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # offsets/nbytes/comps
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # h/w/c
+        ctypes.c_void_p, ctypes.c_void_p,                   # tops/lefts
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_void_p, ctypes.c_int,                      # expos, flag
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -167,6 +177,74 @@ class NativeSidPack:
         )
         if rc != 0:
             raise RuntimeError(f"native decode failed for {key!r}")
+        return out
+
+    def decode_crop_batch(
+        self,
+        keys,
+        tops,
+        lefts,
+        ph: int,
+        pw: int,
+        *,
+        scale: float = 1.0 / 65535.0,
+        expos=None,
+    ) -> np.ndarray:
+        """Decode N crops in parallel (one pthread per record) via the C
+        batch API. All records must be uint16 with the same channel count.
+
+        Returns ``[N, ph, pw, C]`` float32. Falls back to a Python loop
+        over :meth:`decode_crop` when the native library is unavailable.
+
+        Thread spawn/join costs ~0.1 ms/record: the parallel path pays off
+        for full-resolution SID records (tens of ms of inflate each); for
+        tiny records the serial :meth:`decode_crop` loop is faster.
+        """
+        n = len(keys)
+        ents = [self.index[k] for k in keys]
+        if self._handle is None or any(e["dtype"] != "uint16"
+                                       for e in ents):
+            return np.stack([
+                self.decode_crop(k, t, l, ph, pw, scale=scale,
+                                 expo=(expos[i] if expos is not None
+                                       else None))
+                for i, (k, t, l) in enumerate(zip(keys, tops, lefts))
+            ])
+        c = ents[0]["shape"][2] if len(ents[0]["shape"]) > 2 else 1
+        handles = (ctypes.c_void_p * n)(*([self._handle.value] * n))
+        offsets = np.asarray([e["offset"] for e in ents], np.uint64)
+        nbytes = np.asarray([e["nbytes"] for e in ents], np.uint64)
+        comps = np.asarray(
+            [1 if e["comp"] == "zlib" else 0 for e in ents], np.int32)
+        hs = np.asarray([e["shape"][0] for e in ents], np.int64)
+        ws = np.asarray([e["shape"][1] for e in ents], np.int64)
+        cs = np.asarray([c] * n, np.int64)
+        tops_a = np.asarray(tops, np.int64)
+        lefts_a = np.asarray(lefts, np.int64)
+        expos_a = (np.asarray(expos, np.float32)
+                   if expos is not None else None)
+        max_elems = int((hs * ws * cs).max())
+        scratch = np.empty(n * max_elems, np.uint16)
+        out = np.empty((n, ph, pw, c), np.float32)
+        rc = self._lib.sp_decode_crop_batch_f32(
+            handles, n,
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            nbytes.ctypes.data_as(ctypes.c_void_p),
+            comps.ctypes.data_as(ctypes.c_void_p),
+            hs.ctypes.data_as(ctypes.c_void_p),
+            ws.ctypes.data_as(ctypes.c_void_p),
+            cs.ctypes.data_as(ctypes.c_void_p),
+            tops_a.ctypes.data_as(ctypes.c_void_p),
+            lefts_a.ctypes.data_as(ctypes.c_void_p),
+            ph, pw, ctypes.c_float(scale),
+            (expos_a.ctypes.data_as(ctypes.c_void_p)
+             if expos_a is not None else None),
+            1 if expos is not None else 0,
+            scratch.ctypes.data_as(ctypes.c_void_p), max_elems,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError("native batch decode failed")
         return out
 
     def close(self) -> None:
