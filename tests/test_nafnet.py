@@ -177,6 +177,43 @@ class TestScenarioB:
                     "PSF must only appear in the loss branch"
                 )
 
+    def test_psf_applied_exactly_once_in_loss_graph(self, rng):
+        """The loss-side counterpart of the reference's forward-hook count:
+        the full train-loss jaxpr contains EXACTLY ONE groups=3 depthwise
+        PSF application (shift-add lowering => count the custom-vjp
+        newbp_conv call sites by name)."""
+        from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+        from lowlight_image_enhancement_tpu.ops.psf import (
+            create_crosstalk_psf,
+        )
+
+        net = tiny_net()
+        psf = create_crosstalk_psf("mono")
+        loss = HybridLossPlus(use_perc=False, use_deltaE=False,
+                              use_ssim=False, physics_psf_module=psf)
+        x = jnp.zeros((1, 8, 8, 3))
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+
+        def total_loss(p, batch_x):
+            out = net.apply({"params": p}, batch_x)
+            t, _ = loss(
+                Bhat_raw=out, B_raw=batch_x, A_raw=batch_x,
+                expo_ratio=jnp.ones((1,)),
+                Bhat_srgb01=jnp.clip(out, 0, 1),
+                B_srgb01=batch_x,
+                A_srgb01=batch_x,
+            )
+            return t
+
+        jaxpr = jax.make_jaxpr(total_loss)(params, x)
+        text = str(jaxpr)
+        # one custom-vjp PSF call site => its fwd rule name appears once
+        count = text.count("_newbp_conv_fwd")
+        assert count == 1, (
+            f"expected exactly one PSF application in the loss graph, "
+            f"found {count}"
+        )
+
     def test_wrapped_equals_plain_nafnet(self, rng):
         """NewBP wrapper output must be bit-identical to plain NAFNet with
         the same params (reference asserts atol=0)."""
