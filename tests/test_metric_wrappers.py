@@ -109,6 +109,22 @@ class TestFlopsAndLatency:
         res = count_flops(f, jnp.ones((128, 128)))
         assert res["flops_M"] == pytest.approx(res["flops"] / 1e6)
 
+    def test_conv_macs_hand_calculation(self):
+        """Conv MACs vs the hand formula (reference
+        test_flops_utils.py:125-144): MACs = N*H_out*W_out*C_out*C_in*kh*kw."""
+        import flax.linen as nn
+
+        conv = nn.Conv(16, (3, 3), padding="SAME", use_bias=False)
+        x = jnp.ones((1, 32, 32, 8))
+        params = jax.random.PRNGKey(0)
+        variables = conv.init(params, x)
+
+        res = FLOPsCounter("fvcore_fma1").count(
+            lambda p, xx: conv.apply(p, xx), variables, x
+        )
+        want_macs = 1 * 32 * 32 * 16 * 8 * 3 * 3
+        assert res.total == pytest.approx(want_macs, rel=0.05)
+
     def test_per_sample(self):
         def f(x):
             return jnp.einsum("bij,jk->bik", x, jnp.ones((32, 32)))
