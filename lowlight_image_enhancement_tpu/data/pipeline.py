@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import collections
 import itertools
-from typing import Any, Callable, Dict, Iterator, Mapping, Optional
+from typing import Any, Dict, Iterator, Mapping, Optional
 
 import jax
 import numpy as np

@@ -27,7 +27,7 @@ import mmap
 import os
 import struct
 import zlib
-from typing import Dict, Iterable, Mapping, Optional, Tuple
+from typing import Dict, Iterable, Mapping, Optional
 
 import numpy as np
 

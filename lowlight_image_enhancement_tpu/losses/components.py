@@ -21,7 +21,7 @@ All components are callables over NHWC arrays, differentiable, jit-safe.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ All functions are pure jnp and jit-safe for fixed shapes.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

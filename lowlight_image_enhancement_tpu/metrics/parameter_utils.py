@@ -8,7 +8,7 @@ in separate collections and are excluded by construction).
 
 from __future__ import annotations
 
-from typing import Any, Union
+from typing import Any
 
 import jax
 import numpy as np

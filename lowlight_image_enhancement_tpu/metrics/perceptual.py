@@ -9,7 +9,7 @@ per-pixel spatial maps.
 from __future__ import annotations
 
 import warnings
-from typing import Dict, Optional, Union
+from typing import Dict, Union
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ Features mirrored:
 from __future__ import annotations
 
 import warnings
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Union
 
 import jax
 import jax.numpy as jnp

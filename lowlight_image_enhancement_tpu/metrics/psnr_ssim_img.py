@@ -9,7 +9,6 @@ with ``crop_border`` and the MATLAB Y-channel option
 
 from __future__ import annotations
 
-from typing import Union
 
 import numpy as np
 

@@ -15,7 +15,7 @@ shifted windows are computed at trace time (host numpy) per static (H, W).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

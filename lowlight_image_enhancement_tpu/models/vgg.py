@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -17,7 +17,6 @@ tested in interpret mode on CPU and on-chip in the perf harness
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ equals conv_transpose(g, K)) regardless of autodiff internals.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

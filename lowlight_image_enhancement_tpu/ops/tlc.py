@@ -14,7 +14,7 @@ Usage: build the model with ``sca_window=(kh, kw)`` (see
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

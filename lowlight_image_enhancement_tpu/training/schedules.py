@@ -16,7 +16,6 @@ warmup_iter semantics).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Mapping, Optional, Sequence
 
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ rank-strided dist_validation reduced to host aggregation):
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, Iterable, Mapping, Optional
 
 import jax

@@ -22,7 +22,7 @@ import gzip
 import json
 import re
 import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator
 
 import jax
 
