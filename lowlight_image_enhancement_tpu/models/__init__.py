@@ -45,6 +45,10 @@ try:  # noqa: SIM105
     from lowlight_image_enhancement_tpu.models import nafssr as _nafssr  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:  # noqa: SIM105
+    from lowlight_image_enhancement_tpu.models import nafnet_tpu as _nafnet_tpu  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def define_network(opt: Mapping[str, Any]):

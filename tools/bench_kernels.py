@@ -4,6 +4,10 @@
 Validates the SURVEY.md rule that custom kernels must beat XLA's fusion
 before being kept as defaults. Prints per-shape timings + correctness
 deltas for channel-LayerNorm (fwd and fwd+bwd).
+
+NOTE: uses unchained repeat timing — on hosted TPU tunnels the absolute
+numbers are throughput-inflated (see BASELINE.md methodology); both sides
+are measured identically, so the XLA-vs-Pallas *ratios* remain valid.
 """
 
 from __future__ import annotations
