@@ -122,6 +122,33 @@ def main() -> None:
     jax.block_until_ready(y)
     lat = {"ms_per_image": (time.perf_counter() - t0) * 1e3 / 100}
 
+    # --- optional: the space-to-depth TPU-layout variant (same protocol,
+    # capacity-matched params; see BASELINE.md) ---
+    s2d_steps_per_sec = None
+    try:
+        from lowlight_image_enhancement_tpu.models import define_network
+
+        s2d_net = define_network({
+            "type": "NAFNetTPU", "width": 32,
+            "enc_blk_nums": (2, 2, 4, 8), "middle_blk_num": 12,
+            "dec_blk_nums": (2, 2, 2, 2), "dtype": jnp.bfloat16,
+        })
+        s2d_state = create_train_state(
+            s2d_net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            loss=loss,
+        )
+        s2d_step = make_train_step(s2d_net, loss, tx, donate=True)
+        for _ in range(3):
+            s2d_state, s2d_logs = s2d_step(s2d_state, batch)
+        jax.block_until_ready(s2d_logs["l_total"])
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            s2d_state, s2d_logs = s2d_step(s2d_state, batch)
+        jax.block_until_ready(s2d_logs["l_total"])
+        s2d_steps_per_sec = runs / (time.perf_counter() - t0)
+    except Exception:
+        pass  # the headline metric must never fail on the variant
+
     result = {
         "metric": "sid512_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
@@ -132,6 +159,9 @@ def main() -> None:
         "detail": {
             "train_step_ms": round(train_s * 1e3, 3),
             "infer_ms_per_image_256": round(lat["ms_per_image"], 3),
+            "nafnet_tpu_s2d_steps_per_sec": (
+                round(s2d_steps_per_sec, 4) if s2d_steps_per_sec else None
+            ),
             "device": str(jax.devices()[0]),
             "baseline_note": (
                 "reference publishes no numbers; vs_baseline uses the "

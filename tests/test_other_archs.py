@@ -62,6 +62,35 @@ class TestArchs:
         assert any(float(jnp.linalg.norm(l)) > 0 for l in leaves)
 
 
+class TestNAFNetTPU:
+    def test_s2d_forward_and_grad(self, rng):
+        net = define_network({"type": "NAFNetTPU", "width": 16,
+                              "enc_blk_nums": (1, 1), "middle_blk_num": 1,
+                              "dec_blk_nums": (1, 1),
+                              "dtype": jnp.float32})
+        x = jnp.asarray(rng.uniform(0, 1, (1, 35, 41, 3)),
+                        dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(params, x)
+        assert y.shape == (1, 35, 41, 3)
+        assert np.all(np.isfinite(np.asarray(y)))
+        g = jax.grad(lambda p: jnp.mean(net.apply(p, x) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
+    def test_s2d_roundtrip_identityish_at_init(self, rng):
+        """The trunk's global residual rides through s2d/d2s: at init
+        (zero beta/gamma) the output tracks the input closely."""
+        net = define_network({"type": "NAFNetTPU", "width": 8,
+                              "enc_blk_nums": (1,), "middle_blk_num": 1,
+                              "dec_blk_nums": (1,), "dtype": jnp.float32})
+        x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)),
+                        dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(params, x)
+        assert float(jnp.mean(jnp.abs(y - x))) < 0.5
+
+
 class TestOddSizes:
     def test_swinir_pads_non_multiple(self, rng):
         net = SwinIR(embed_dim=16, depths=(2,), num_heads=(2,),
