@@ -78,17 +78,20 @@ class TestNAFNetTPU:
         assert all(np.all(np.isfinite(np.asarray(l)))
                    for l in jax.tree_util.tree_leaves(g))
 
-    def test_s2d_roundtrip_identityish_at_init(self, rng):
-        """The trunk's global residual rides through s2d/d2s: at init
-        (zero beta/gamma) the output tracks the input closely."""
-        net = define_network({"type": "NAFNetTPU", "width": 8,
-                              "enc_blk_nums": (1,), "middle_blk_num": 1,
-                              "dec_blk_nums": (1,), "dtype": jnp.float32})
-        x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)),
+    def test_s2d_d2s_roundtrip_identity(self, rng):
+        """pixel_unshuffle then pixel_shuffle must be the exact identity
+        (the s2d/d2s pair around the trunk preserves pixels)."""
+        from lowlight_image_enhancement_tpu.models.nafnet import (
+            pixel_shuffle,
+        )
+        from lowlight_image_enhancement_tpu.ops.image_ops import (
+            pixel_unshuffle,
+        )
+
+        x = jnp.asarray(rng.uniform(0, 1, (2, 16, 20, 3)),
                         dtype=jnp.float32)
-        params = net.init(jax.random.PRNGKey(0), x)
-        y = net.apply(params, x)
-        assert float(jnp.mean(jnp.abs(y - x))) < 0.5
+        back = pixel_shuffle(pixel_unshuffle(x, 2), 2)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
 class TestOddSizes:
