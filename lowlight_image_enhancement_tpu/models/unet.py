@@ -20,7 +20,18 @@ Array = jax.Array
 
 
 class DoubleConv(nn.Module):
+    """Two conv3x3 + norm + ReLU stages.
+
+    Deviation from the reference (which uses BatchNorm2d): normalization is
+    **GroupNorm** by default. Rationale: the SID recipe trains at batch 2,
+    where BN statistics are extremely noisy, and BN's running-stat state
+    complicates the pure-functional train step; GroupNorm is batch-size
+    independent, state-free, and standard practice for small-batch
+    restoration. ``norm='none'`` disables normalization entirely.
+    """
+
     features: int
+    norm: str = "group"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -29,8 +40,11 @@ class DoubleConv(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
-                             name=f"bn{i + 1}")(x)
+            if self.norm == "group":
+                x = nn.GroupNorm(
+                    num_groups=min(8, self.features), dtype=jnp.float32,
+                    name=f"norm{i + 1}",
+                )(x).astype(self.dtype)
             x = nn.relu(x)
         return x
 
@@ -45,6 +59,7 @@ class UNetSID(nn.Module):
     base_channels: int = 32
     depths: Sequence[int] = (32, 64, 128, 256)
     bilinear: bool = True
+    norm: str = "group"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,11 +68,11 @@ class UNetSID(nn.Module):
         chans = tuple(self.depths)
 
         skips = []
-        h = DoubleConv(chans[0], self.dtype, name="inc")(x)
+        h = DoubleConv(chans[0], self.norm, self.dtype, name="inc")(x)
         for i, c in enumerate(chans[1:], start=1):
             skips.append(h)
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
-            h = DoubleConv(c, self.dtype, name=f"down{i}")(h)
+            h = DoubleConv(c, self.norm, self.dtype, name=f"down{i}")(h)
 
         for i, c in enumerate(reversed(chans[:-1]), start=1):
             if self.bilinear:
@@ -77,7 +92,7 @@ class UNetSID(nn.Module):
                 h = jnp.pad(h, ((0, 0), (dh // 2, dh - dh // 2),
                                 (dw // 2, dw - dw // 2), (0, 0)))
             h = jnp.concatenate([skip, h], axis=-1)
-            h = DoubleConv(c, self.dtype, name=f"up{i}")(h)
+            h = DoubleConv(c, self.norm, self.dtype, name=f"up{i}")(h)
 
         out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32, name="outc")(h)
