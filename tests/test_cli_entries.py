@@ -69,7 +69,8 @@ class TestCliMains:
 class TestSweepConfigs:
     @pytest.mark.parametrize("cfg", ["sid_newbp_mono.yml", "sid_unet.yml",
                                      "sid_swinir.yml",
-                                     "sid_nafnet_w64.yml"])
+                                     "sid_nafnet_w64.yml",
+                                     "sid_nafnet_tpu.yml"])
     def test_network_instantiates(self, cfg):
         import yaml
 

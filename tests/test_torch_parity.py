@@ -128,6 +128,39 @@ class TestTorchParity:
 
         np.testing.assert_allclose(j_out, t_out, atol=1e-4, rtol=1e-4)
 
+    def test_bf16_policy_parity_tolerance(self, rng):
+        """The bf16 activation policy must track the fp32 torch reference
+        within bf16 tolerance on converted weights (documents the AMP
+        numeric contract)."""
+        import torch
+
+        TorchNAFNet = _load_reference_nafnet()
+        kw = dict(img_channel=3, width=8, middle_blk_num=1,
+                  enc_blk_nums=[1, 1], dec_blk_nums=[1, 1])
+        tnet = TorchNAFNet(**kw).eval()
+        torch.manual_seed(1)
+        with torch.no_grad():
+            for p in tnet.parameters():
+                p.copy_(torch.randn_like(p) * 0.05)
+
+        x = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_out = np.transpose(
+                tnet(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+                .numpy(), (0, 2, 3, 1))
+
+        import jax.numpy as jnp2
+
+        from lowlight_image_enhancement_tpu.models import NAFNet
+
+        jnet = NAFNet(img_channel=3, width=8, middle_blk_num=1,
+                      enc_blk_nums=(1, 1), dec_blk_nums=(1, 1),
+                      dtype=jnp2.bfloat16)
+        params = flat_to_tree(convert_state_dict(tnet.state_dict()))
+        j_out = np.asarray(jnet.apply({"params": params}, jnp.asarray(x)))
+        # bf16 has ~2-3 decimal digits; activations are O(1)
+        np.testing.assert_allclose(j_out, t_out, atol=3e-2)
+
     def test_converted_param_tree_complete(self, rng):
         """Every converted tensor lands on a slot our init tree has, with
         matching shapes (catches silent mapping gaps)."""
