@@ -100,10 +100,14 @@ class Loader:
             yield _stack_batch(batch)
 
 
-def epochs(loader: Loader, num_epochs: Optional[int] = None
-           ) -> Iterator[Dict[str, Any]]:
-    """Flatten epochs into a single batch stream, calling ``set_epoch``."""
-    counter = range(num_epochs) if num_epochs else itertools.count()
+def epochs(loader: Loader, num_epochs: Optional[int] = None,
+           start_epoch: int = 0) -> Iterator[Dict[str, Any]]:
+    """Flatten epochs into a single batch stream, calling ``set_epoch``.
+
+    ``start_epoch`` resumes the deterministic shuffle sequence mid-run
+    (the trainer passes ``resume_iter // len(loader)``)."""
+    counter = (range(start_epoch, start_epoch + num_epochs) if num_epochs
+               else itertools.count(start_epoch))
     for ep in counter:
         loader.set_epoch(ep)
         yield from loader

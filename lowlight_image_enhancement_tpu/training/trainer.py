@@ -184,8 +184,11 @@ class Trainer:
         self.logger.info("config:\n%s", dict2str(self.opt))
 
         sharding = batch_sharding(self.mesh)
+        # resume the shuffle sequence at the epoch the run left off in
+        start_epoch = (self.start_iter // max(len(self.train_loader), 1))
         stream = prefetch_to_device(
-            epoch_stream(self.train_loader), sharding=sharding
+            epoch_stream(self.train_loader, start_epoch=start_epoch),
+            sharding=sharding,
         )
 
         current_iter = self.start_iter
