@@ -45,6 +45,10 @@ class Loader:
         ``EnlargedSampler`` semantics.
       enlarge_ratio: virtual dataset enlargement (modulo indexing).
       drop_last: drop the trailing partial batch (train default).
+      num_workers: >0 enables thread-pool item fetching (decode hot paths
+        release the GIL via ctypes/cv2, so threads scale ~linearly on
+        multi-core hosts; on a single-core host keep 0 — threads only add
+        contention).
     """
 
     def __init__(
@@ -57,6 +61,7 @@ class Loader:
         drop_last: bool = True,
         num_hosts: int = 1,
         host_id: int = 0,
+        num_workers: int = 0,
     ):
         if batch_size % num_hosts != 0:
             raise ValueError("batch_size must divide evenly across hosts")
@@ -69,6 +74,7 @@ class Loader:
         self.drop_last = drop_last
         self.num_hosts = num_hosts
         self.host_id = host_id
+        self.num_workers = int(num_workers)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -81,15 +87,20 @@ class Loader:
             return per_host // self.local_batch
         return -(-per_host // self.local_batch)
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def _order(self) -> np.ndarray:
         n = len(self.dataset) * self.enlarge_ratio
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        order = order[self.host_id :: self.num_hosts]
+        return order[self.host_id :: self.num_hosts]
 
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._order()
+        if self.num_workers > 0:
+            yield from self._iter_threaded(order)
+            return
         batch = []
         for virtual_idx in order:
             batch.append(self.dataset[int(virtual_idx) % len(self.dataset)])
@@ -98,6 +109,46 @@ class Loader:
                 batch = []
         if batch and not self.drop_last:
             yield _stack_batch(batch)
+
+    def _iter_threaded(self, order: np.ndarray
+                       ) -> Iterator[Dict[str, Any]]:
+        """Thread-pool item fetching with a bounded lookahead window.
+
+        The decode hot path (zlib inflate + crop in ``native/sidpack.cpp``
+        via ctypes, or cv2 PNG decode) releases the GIL, so threads give
+        near-linear host-loading speedup. Order and determinism are
+        preserved: items are submitted and consumed in sequence.
+        """
+        import concurrent.futures as cf
+
+        lookahead = self.local_batch * max(self.num_workers, 1) * 2
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = []
+            it = iter(order)
+
+            def submit_next():
+                try:
+                    virtual_idx = next(it)
+                except StopIteration:
+                    return False
+                futures.append(pool.submit(
+                    self.dataset.__getitem__,
+                    int(virtual_idx) % len(self.dataset),
+                ))
+                return True
+
+            for _ in range(lookahead):
+                if not submit_next():
+                    break
+            batch = []
+            while futures:
+                batch.append(futures.pop(0).result())
+                submit_next()
+                if len(batch) == self.local_batch:
+                    yield _stack_batch(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield _stack_batch(batch)
 
 
 def epochs(loader: Loader, num_epochs: Optional[int] = None,

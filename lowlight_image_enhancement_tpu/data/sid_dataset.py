@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -88,6 +89,9 @@ class SonySIDDataset:
         self.random_crop = random_crop
         self.use_augment = use_augment
         self._rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe; threaded loaders
+        # (Loader(num_workers=...), grain) fetch items concurrently
+        self._rng_lock = threading.Lock()
 
         io_backend = dict(io_backend or {"type": "disk", "root": "."})
         self.backend_type = io_backend.pop("type")
@@ -123,8 +127,9 @@ class SonySIDDataset:
     def _crop_coords(self, h: int, w: int) -> tuple[int, int]:
         ps = self.patch_size
         if self.phase == "train" and self.random_crop:
-            return (int(self._rng.integers(0, h - ps + 1)),
-                    int(self._rng.integers(0, w - ps + 1)))
+            with self._rng_lock:
+                return (int(self._rng.integers(0, h - ps + 1)),
+                        int(self._rng.integers(0, w - ps + 1)))
         return max((h - ps) // 2, 0), max((w - ps) // 2, 0)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:

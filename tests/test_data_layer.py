@@ -216,3 +216,30 @@ class TestLoader:
                                     "batch_size_per_gpu": 2})
         b = next(iter(loader))
         assert b["lq"].shape[0] == 2
+
+
+class TestThreadedLoader:
+    def test_workers_yield_identical_item_set(self, debug_sid):
+        """Threaded fetching preserves the batch order/content contract."""
+        paths, _ = debug_sid
+        ds = SonySIDDataset(
+            manifest_path=paths["manifest"], subset="train",
+            patch_size=16, samples_per_pair=4, random_crop=False,
+            io_backend={"type": "pack",
+                        "short_path": paths["train_short"],
+                        "long_path": paths["train_long"]},
+        )
+        plain = Loader(ds, batch_size=4, shuffle=True, seed=9)
+        threaded = Loader(ds, batch_size=4, shuffle=True, seed=9,
+                          num_workers=2)
+        plain.set_epoch(1)
+        threaded.set_epoch(1)
+        ids_plain = [tuple(b["pair_id"]) for b in plain]
+        ids_threaded = [tuple(b["pair_id"]) for b in threaded]
+        assert ids_plain == ids_threaded
+        # deterministic center-crop content identical too
+        import numpy as _np
+
+        b1 = next(iter(plain))
+        b2 = next(iter(threaded))
+        _np.testing.assert_array_equal(b1["lq"], b2["lq"])
