@@ -241,6 +241,8 @@ class Trainer:
             ckpt.save_network(paths["models"], self.state)
 
     def validate(self) -> Dict[str, float]:
+        if self.val_loader is None:
+            return {}
         val_opt = self.opt.get("val", {}) or {}
         metrics_opt = val_opt.get("metrics", {}) or {}
         params = self.state.params
