@@ -70,6 +70,13 @@ def _load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.sp_decode_crop_banded_f32.restype = ctypes.c_int
+    lib.sp_decode_crop_banded_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.sp_decode_crop_batch_f32.restype = ctypes.c_int
     lib.sp_decode_crop_batch_f32.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
@@ -148,33 +155,57 @@ class NativeSidPack:
         h, w, *rest = ent["shape"]
         c = rest[0] if rest else 1
         if self._handle is None or ent["dtype"] != "uint16":
-            arr = self._py.get(key).astype(np.float32)
-            if ent["dtype"] == "uint16":
-                arr = arr * scale
-            arr = arr[top : top + ph, left : left + pw]
+            if ent["comp"] == "zlib_band" and ent["dtype"] == "uint16":
+                rows = self._py.get_rows(key, top, ph)
+                arr = rows[:, left : left + pw].astype(np.float32) * scale
+            else:
+                arr = self._py.get(key).astype(np.float32)
+                if ent["dtype"] == "uint16":
+                    arr = arr * scale
+                arr = arr[top : top + ph, left : left + pw]
             if expo is not None:
                 arr = np.clip(arr * expo, 0.0, 1.0)
             return np.ascontiguousarray(arr, dtype=np.float32)
 
         out = np.empty((ph, pw, c), np.float32)
-        comp = 1 if ent["comp"] == "zlib" else 0
-        scratch_ptr = None
-        if comp:
-            need = h * w * c
+
+        def get_scratch(need):
             scratch = getattr(self._tls, "scratch", None)
             if scratch is None or scratch.size < need:
                 scratch = np.empty(need, np.uint16)
                 self._tls.scratch = scratch
-            scratch_ptr = scratch.ctypes.data_as(ctypes.c_void_p)
-        rc = self._lib.sp_decode_crop_f32(
-            self._handle, ent["offset"], ent["nbytes"], comp,
-            h, w, c, top, left, ph, pw,
-            ctypes.c_float(scale),
-            ctypes.c_float(expo if expo is not None else 1.0),
-            1 if expo is not None else 0,
-            scratch_ptr,
-            out.ctypes.data_as(ctypes.c_void_p),
-        )
+            return scratch
+
+        if ent["comp"] == "zlib_band":
+            band_rows = ent["band_rows"]
+            b0 = top // band_rows
+            b1 = (top + ph - 1) // band_rows
+            rows_span = min((b1 + 1) * band_rows, h) - b0 * band_rows
+            scratch = get_scratch(rows_span * w * c)
+            rc = self._lib.sp_decode_crop_banded_f32(
+                self._handle, ent["offset"], ent["nbytes"],
+                h, w, c, top, left, ph, pw,
+                ctypes.c_float(scale),
+                ctypes.c_float(expo if expo is not None else 1.0),
+                1 if expo is not None else 0,
+                scratch.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+        else:
+            comp = 1 if ent["comp"] == "zlib" else 0
+            scratch_ptr = None
+            if comp:
+                scratch_ptr = get_scratch(h * w * c).ctypes.data_as(
+                    ctypes.c_void_p)
+            rc = self._lib.sp_decode_crop_f32(
+                self._handle, ent["offset"], ent["nbytes"], comp,
+                h, w, c, top, left, ph, pw,
+                ctypes.c_float(scale),
+                ctypes.c_float(expo if expo is not None else 1.0),
+                1 if expo is not None else 0,
+                scratch_ptr,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
         if rc != 0:
             raise RuntimeError(f"native decode failed for {key!r}")
         return out
@@ -202,8 +233,10 @@ class NativeSidPack:
         """
         n = len(keys)
         ents = [self.index[k] for k in keys]
-        if self._handle is None or any(e["dtype"] != "uint16"
-                                       for e in ents):
+        if (self._handle is None
+                or any(e["dtype"] != "uint16" for e in ents)
+                or any(e["comp"] == "zlib_band" for e in ents)):
+            # banded records take the per-record path (still band-pruned)
             return np.stack([
                 self.decode_crop(k, t, l, ph, pw, scale=scale,
                                  expo=(expos[i] if expos is not None

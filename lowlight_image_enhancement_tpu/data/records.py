@@ -41,13 +41,27 @@ class SidPackWriter:
         with SidPackWriter(path) as w:
             w.add("00001_short", arr_uint16)        # raw
             w.add("00001_long", arr_uint16, comp="zlib")
+            w.add("00002_long", arr_uint16, comp="zlib_band")
+
+    ``comp='zlib_band'`` compresses HWC arrays in independent row stripes
+    (``band_rows`` rows each) so crop reads only inflate the overlapping
+    stripes — on full-resolution SID frames (2848x4256) a 384^2 crop
+    touches ~14% of rows, cutting decode work ~7x. Payload layout::
+
+        uint32 band_rows | uint32 n_bands | uint64 ends[n_bands]
+        | band 0 zlib stream | band 1 zlib stream | ...
+
+    where ``ends[i]`` is the offset (relative to the first stream byte) of
+    the end of stream *i*.
     """
 
-    def __init__(self, path: str, comp: str = "zlib"):
-        if comp not in {"none", "zlib"}:
-            raise ValueError("comp must be 'none' or 'zlib'")
+    def __init__(self, path: str, comp: str = "zlib",
+                 band_rows: int = 64):
+        if comp not in {"none", "zlib", "zlib_band"}:
+            raise ValueError("comp must be 'none', 'zlib' or 'zlib_band'")
         self.path = path
         self.default_comp = comp
+        self.band_rows = int(band_rows)
         self._index: Dict[str, dict] = {}
         self._f = open(path, "wb")
         self._f.write(_MAGIC)
@@ -67,18 +81,37 @@ class SidPackWriter:
             raise KeyError(f"duplicate key {key!r}")
         comp = comp or self.default_comp
         arr = np.ascontiguousarray(arr)
-        payload = arr.tobytes()
-        if comp == "zlib":
-            payload = zlib.compress(payload, level=1)
-        self._pad()
-        self._f.write(payload)
-        self._index[key] = {
-            "offset": self._pos,
-            "nbytes": len(payload),
+        entry: Dict = {
             "shape": list(arr.shape),
             "dtype": str(arr.dtype),
             "comp": comp,
         }
+        if comp == "zlib_band":
+            if arr.ndim < 2:
+                raise ValueError("zlib_band requires >= 2-D arrays")
+            h = arr.shape[0]
+            streams = [
+                zlib.compress(arr[r : r + self.band_rows].tobytes(),
+                              level=1)
+                for r in range(0, h, self.band_rows)
+            ]
+            ends, acc = [], 0
+            for s in streams:
+                acc += len(s)
+                ends.append(acc)
+            header = struct.pack("<II", self.band_rows, len(streams))
+            header += struct.pack(f"<{len(streams)}Q", *ends)
+            payload = header + b"".join(streams)
+            entry["band_rows"] = self.band_rows
+        elif comp == "zlib":
+            payload = zlib.compress(arr.tobytes(), level=1)
+        else:
+            payload = arr.tobytes()
+        self._pad()
+        self._f.write(payload)
+        entry["offset"] = self._pos
+        entry["nbytes"] = len(payload)
+        self._index[key] = entry
         self._pos += len(payload)
 
     def close(self) -> None:
@@ -132,13 +165,57 @@ class SidPackReader:
     def meta(self, key: str) -> dict:
         return self.index[key]
 
+    def _band_table(self, ent: dict):
+        """Parse a zlib_band payload header -> (band_rows, stream_spans)
+        where spans are absolute (start, end) file offsets per band."""
+        off = ent["offset"]
+        band_rows, n_bands = struct.unpack(
+            "<II", self._mm[off : off + 8]
+        )
+        ends = struct.unpack(
+            f"<{n_bands}Q", self._mm[off + 8 : off + 8 + 8 * n_bands]
+        )
+        data0 = off + 8 + 8 * n_bands
+        spans = []
+        start = 0
+        for end in ends:
+            spans.append((data0 + start, data0 + end))
+            start = end
+        return band_rows, spans
+
     def get(self, key: str) -> np.ndarray:
         ent = self.index[key]
-        raw = self._mm[ent["offset"] : ent["offset"] + ent["nbytes"]]
-        if ent["comp"] == "zlib":
-            raw = zlib.decompress(raw)
+        if ent["comp"] == "zlib_band":
+            _, spans = self._band_table(ent)
+            raw = b"".join(
+                zlib.decompress(self._mm[s:e]) for s, e in spans
+            )
+        else:
+            raw = self._mm[ent["offset"] : ent["offset"] + ent["nbytes"]]
+            if ent["comp"] == "zlib":
+                raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=np.dtype(ent["dtype"]))
         return arr.reshape(ent["shape"])
+
+    def get_rows(self, key: str, top: int, nrows: int) -> np.ndarray:
+        """Decode only rows [top, top+nrows) — inflates just the
+        overlapping stripes for ``zlib_band`` records (full decode + slice
+        otherwise)."""
+        ent = self.index[key]
+        if ent["comp"] != "zlib_band":
+            return self.get(key)[top : top + nrows]
+        band_rows, spans = self._band_table(ent)
+        b0 = top // band_rows
+        b1 = (top + nrows - 1) // band_rows
+        raw = b"".join(
+            zlib.decompress(self._mm[s:e]) for s, e in spans[b0 : b1 + 1]
+        )
+        shape = ent["shape"]
+        rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        arr = np.frombuffer(raw, dtype=np.dtype(ent["dtype"]))
+        arr = arr.reshape((-1,) + tuple(shape[1:]))
+        local_top = top - b0 * band_rows
+        return arr[local_top : local_top + nrows]
 
     def close(self) -> None:
         self._mm.close()

@@ -126,6 +126,66 @@ int sp_decode_crop_f32(const SpHandle* h, uint64_t offset, uint64_t nbytes,
   return 0;
 }
 
+// Banded payload (comp="zlib_band"): rows are compressed in independent
+// stripes so a crop only inflates the overlapping stripes. Header layout
+// (little-endian): uint32 band_rows | uint32 n_bands | uint64 ends[n] |
+// concatenated zlib streams. Returns 0 on success.
+int sp_decode_crop_banded_f32(const SpHandle* h, uint64_t offset,
+                              uint64_t nbytes, int64_t height,
+                              int64_t width, int64_t channels, int64_t top,
+                              int64_t left, int64_t ph, int64_t pw,
+                              float scale, float expo, int apply_expo_clip,
+                              uint16_t* scratch, float* out) {
+  if (!h || !scratch || top < 0 || left < 0 || top + ph > height ||
+      left + pw > width || offset + nbytes > h->size)
+    return -1;
+  const uint8_t* base = h->base + offset;
+  uint32_t band_rows, n_bands;
+  memcpy(&band_rows, base, 4);
+  memcpy(&n_bands, base + 4, 4);
+  if (band_rows == 0 || n_bands == 0) return -1;
+  const uint8_t* ends_raw = base + 8;
+  const uint8_t* data0 = base + 8 + 8ull * n_bands;
+
+  const int64_t b0 = top / band_rows;
+  const int64_t b1 = (top + ph - 1) / band_rows;
+  if (b1 >= (int64_t)n_bands) return -1;
+  const int64_t row_elems = width * channels;
+
+  // inflate bands b0..b1 contiguously into scratch
+  uint8_t* dst = reinterpret_cast<uint8_t*>(scratch);
+  for (int64_t b = b0; b <= b1; ++b) {
+    uint64_t start = 0, end = 0;
+    memcpy(&end, ends_raw + 8 * b, 8);
+    if (b > 0) memcpy(&start, ends_raw + 8 * (b - 1), 8);
+    const int64_t rows_here =
+        (b == (int64_t)n_bands - 1) ? (height - b * band_rows) : band_rows;
+    uLongf dest_len = static_cast<uLongf>(rows_here * row_elems * 2);
+    if (uncompress(dst, &dest_len, data0 + start,
+                   static_cast<uLong>(end - start)) != Z_OK)
+      return -1;
+    dst += dest_len;
+  }
+
+  const int64_t local_top = top - b0 * band_rows;
+  for (int64_t r = 0; r < ph; ++r) {
+    const uint16_t* src_row =
+        scratch + (local_top + r) * row_elems + left * channels;
+    float* dst_row = out + r * pw * channels;
+    const int64_t n = pw * channels;
+    if (apply_expo_clip) {
+      for (int64_t i = 0; i < n; ++i) {
+        float v = static_cast<float>(src_row[i]) * scale * expo;
+        dst_row[i] = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+      }
+    } else {
+      for (int64_t i = 0; i < n; ++i)
+        dst_row[i] = static_cast<float>(src_row[i]) * scale;
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Parallel batch decode: N independent records -> N float32 crops.
 // ---------------------------------------------------------------------------

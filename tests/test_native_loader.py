@@ -87,3 +87,54 @@ class TestNativeDecode:
             assert r.meta_shape("k0") == (64, 80, 3)
             assert r.meta_dtype("k0") == "uint16"
             assert len(r) == 6 and "k3" in r
+
+
+class TestBandedCompression:
+    def test_banded_roundtrip_and_row_pruning(self, tmp_path, rng):
+        from lowlight_image_enhancement_tpu.data.records import (
+            SidPackReader,
+        )
+
+        path = str(tmp_path / "b.pack")
+        img = rng.integers(0, 65535, (200, 96, 3)).astype(np.uint16)
+        with SidPackWriter(path, band_rows=32) as w:
+            w.add("img", img, comp="zlib_band")
+        with SidPackReader(path) as r:
+            assert r.meta("img")["comp"] == "zlib_band"
+            assert r.meta("img")["band_rows"] == 32
+            np.testing.assert_array_equal(r.get("img"), img)
+            np.testing.assert_array_equal(
+                r.get_rows("img", 50, 60), img[50:110]
+            )
+            # edge band (non-multiple height)
+            np.testing.assert_array_equal(
+                r.get_rows("img", 190, 10), img[190:200]
+            )
+
+    def test_native_banded_crop_parity(self, tmp_path, rng):
+        path = str(tmp_path / "b2.pack")
+        img = rng.integers(0, 65535, (128, 64, 3)).astype(np.uint16)
+        with SidPackWriter(path, band_rows=16) as w:
+            w.add("img", img, comp="zlib_band")
+        with NativeSidPack(path) as r:
+            for top, left in [(0, 0), (17, 5), (96, 32), (100, 36)]:
+                crop = r.decode_crop("img", top, left, 28, 28, expo=2.0)
+                want = np.clip(
+                    img[top:top + 28, left:left + 28].astype(np.float32)
+                    / 65535.0 * 2.0, 0, 1)
+                np.testing.assert_allclose(crop, want, atol=1e-6)
+
+    def test_banded_batch_falls_back_correctly(self, tmp_path, rng):
+        path = str(tmp_path / "b3.pack")
+        img = rng.integers(0, 65535, (64, 48, 3)).astype(np.uint16)
+        with SidPackWriter(path, band_rows=16) as w:
+            w.add("a", img, comp="zlib_band")
+            w.add("b", img, comp="zlib_band")
+        with NativeSidPack(path) as r:
+            batch = r.decode_crop_batch(["a", "b"], [4, 8], [2, 6], 16, 16)
+            np.testing.assert_allclose(
+                batch[0],
+                img[4:20, 2:18].astype(np.float32) / 65535.0, atol=1e-6)
+            np.testing.assert_allclose(
+                batch[1],
+                img[8:24, 6:22].astype(np.float32) / 65535.0, atol=1e-6)

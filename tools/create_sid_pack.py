@@ -46,7 +46,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--subsets", nargs="*", default=["train", "val"])
     ap.add_argument("--placeholder-on-corrupt", action="store_true")
-    ap.add_argument("--comp", default="zlib", choices=["zlib", "none"])
+    ap.add_argument("--comp", default="zlib_band",
+                    choices=["zlib_band", "zlib", "none"],
+                    help="zlib_band (default): stripe-wise compression so "
+                         "crop reads inflate only overlapping stripes")
     args = ap.parse_args()
 
     with open(args.manifest) as f:
