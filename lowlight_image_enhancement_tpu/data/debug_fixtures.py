@@ -48,7 +48,8 @@ def make_debug_sid(
     for subset in subsets:
         short_path = os.path.join(root, f"{subset}_short.pack")
         long_path = os.path.join(root, f"{subset}_long.pack")
-        with SidPackWriter(short_path) as ws, SidPackWriter(long_path) as wl:
+        with SidPackWriter(short_path, comp="zlib_band") as ws, \
+                SidPackWriter(long_path, comp="zlib_band") as wl:
             for i in range(n_pairs):
                 pair_id = f"{subset}_{i:05d}"
                 base = rng.uniform(0.1, 0.9, (8, 8, 3)).astype(np.float32)

@@ -211,7 +211,6 @@ class SidPackReader:
             zlib.decompress(self._mm[s:e]) for s, e in spans[b0 : b1 + 1]
         )
         shape = ent["shape"]
-        rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
         arr = np.frombuffer(raw, dtype=np.dtype(ent["dtype"]))
         arr = arr.reshape((-1,) + tuple(shape[1:]))
         local_top = top - b0 * band_rows
