@@ -88,12 +88,15 @@ def _prepare_psf(
         k = jnp.clip(k, min=0.0)
     if normalize:
         sums = jnp.sum(k.reshape(k.shape[0], -1), axis=1)
-        if bool(jnp.any(jnp.abs(sums) < 1e-8)):
-            warnings.warn(
-                "PSF kernel has ~zero energy in at least one output channel; "
-                "normalization skipped for those channels.",
-                stacklevel=3,
-            )
+        try:  # host-side warning; skipped when traced under jit
+            if bool(jnp.any(jnp.abs(sums) < 1e-8)):
+                warnings.warn(
+                    "PSF kernel has ~zero energy in at least one output "
+                    "channel; normalization skipped for those channels.",
+                    stacklevel=3,
+                )
+        except jax.errors.TracerBoolConversionError:
+            pass
         safe = jnp.where(jnp.abs(sums) < 1e-8, 1.0, sums)
         k = k / safe[:, None, None, None]
     return k
