@@ -1,7 +1,8 @@
 """Video frame-sequence datasets (stock BasicSR parity: REDS/Vimeo layout).
 
 Rebuild of the reference's inherited video datasets
-(``basicsr/data/reds_dataset.py`` / ``vimeo90k_dataset.py`` — unused by the
+(``basicsr/data/reds_dataset.py:18`` / ``vimeo90k_dataset.py``, frame
+padding per ``basicsr/data/data_util.py:41`` — unused by the
 SID configs, kept for framework completeness): a clip is a folder of
 numbered frames; items stack ``num_frame`` neighboring LQ frames around a
 center index with frame-padding at clip edges, paired with the center GT

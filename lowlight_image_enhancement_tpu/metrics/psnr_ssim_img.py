@@ -1,6 +1,9 @@
 """uint8-image PSNR/SSIM with MATLAB conventions (stock BasicSR metrics).
 
-Rebuild of the reference's ``basicsr/metrics/psnr_ssim.py`` (used by the
+Rebuild of the reference's ``basicsr/metrics/psnr_ssim.py``
+(``calculate_psnr:16-78``, ``_ssim:92-168``, ``calculate_ssim:251-336``;
+``rgb2ycbcr`` from ``basicsr/utils/matlab_functions.py:179-205``) — used
+by the
 ``use_image: true`` validation path): metrics on HWC uint8-range images
 with ``crop_border`` and the MATLAB Y-channel option
 (``test_y_channel``), where SSIM uses the 11x11 Gaussian window on the

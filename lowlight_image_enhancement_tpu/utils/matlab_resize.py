@@ -1,7 +1,7 @@
 """MATLAB-convention ``imresize`` (bicubic, antialiased).
 
 Rebuild of the reference's inherited ``basicsr/utils/matlab_functions.py``
-``imresize``: MATLAB's bicubic kernel (a = -0.5) with kernel-width scaling
+(``cubic:12-26``, ``imresize:94-176``): MATLAB's bicubic kernel (a = -0.5) with kernel-width scaling
 (antialiasing) for downsampling, symmetric edge replication, separable
 passes — the convention behind most published SR/restoration PSNR tables.
 
