@@ -25,6 +25,46 @@ class TestWindows:
         back = window_reverse(wins, 8, 16, 24)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
+    def test_shift_mask_structure(self):
+        """The shifted-window attention mask must isolate wrap-around
+        regions: diagonal blocks are 0 (self-attention allowed), and every
+        window containing wrapped content has -100 entries."""
+        from lowlight_image_enhancement_tpu.models.swinir import (
+            _shift_attn_mask,
+        )
+
+        mask = _shift_attn_mask(16, 16, 8, 4)
+        assert mask.shape == (4, 64, 64)
+        # values are exactly {0, -100}
+        assert set(np.unique(mask)) <= {0.0, -100.0}
+        # window 0 (top-left) has no wrapped content: fully 0
+        np.testing.assert_array_equal(mask[0], 0.0)
+        # the bottom-right window mixes 4 regions: blocked pairs exist
+        assert (mask[3] == -100.0).any()
+        # diagonal is always 0 (a token attends to itself)
+        for wi in range(4):
+            np.testing.assert_array_equal(np.diagonal(mask[wi]), 0.0)
+
+    def test_window_isolation_in_attention(self, rng):
+        """Tokens in different windows must not influence each other:
+        perturbing window B leaves window A's output bit-identical."""
+        import jax
+
+        from lowlight_image_enhancement_tpu.models.swinir import SwinBlock
+
+        blk = SwinBlock(dim=8, num_heads=2, window_size=8, shift=0)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 8)),
+                        dtype=jnp.float32)  # two 8x8 windows side by side
+        params = blk.init(jax.random.PRNGKey(0), x)
+        y1 = blk.apply(params, x)
+        x2 = x.at[:, :, 8:, :].add(1.0)  # perturb only the right window
+        y2 = blk.apply(params, x2)
+        np.testing.assert_array_equal(
+            np.asarray(y1[:, :, :8, :]), np.asarray(y2[:, :, :8, :])
+        )
+        assert not np.allclose(np.asarray(y1[:, :, 8:, :]),
+                               np.asarray(y2[:, :, 8:, :]))
+
 
 @pytest.mark.parametrize(
     "opt,shape",
