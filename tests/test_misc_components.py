@@ -182,3 +182,51 @@ class TestUint8Metrics:
         white = rgb2ycbcr(np.ones((1, 1, 3)), y_only=True)
         np.testing.assert_allclose(black[0, 0, 0], 16 / 255, atol=1e-6)
         np.testing.assert_allclose(white[0, 0, 0], 235 / 255, atol=1e-3)
+
+
+class TestNAFNetLocalBehavior:
+    def test_large_window_equals_global_sca(self, rng):
+        """With a TLC window >= 2x the image, every pixel's windowed mean
+        covers the full image, so NAFNetLocal must equal plain NAFNet
+        exactly on the same params."""
+        import jax
+        import jax.numpy as jnp
+
+        from lowlight_image_enhancement_tpu.models import define_network
+
+        kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                  dec_blk_nums=(1, 1))
+        plain = define_network({"type": "NAFNet", **kw})
+        local = define_network({"type": "NAFNetLocal",
+                                "train_size": (22, 22),  # 1.5x -> 33 >= 2*16
+                                **kw})
+        x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)),
+                        dtype=jnp.float32)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        y_plain = plain.apply(params, x)
+        y_local = local.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_local),
+                                   np.asarray(y_plain), atol=1e-5)
+
+    def test_small_window_differs_from_global(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from lowlight_image_enhancement_tpu.models import define_network
+
+        kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                  dec_blk_nums=(1, 1))
+        plain = define_network({"type": "NAFNet", **kw})
+        local = define_network({"type": "NAFNetLocal",
+                                "train_size": (4, 4), **kw})
+        x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)),
+                        dtype=jnp.float32)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        # beta/gamma are zero-initialized (blocks act as identity), which
+        # would mask the SCA pooling difference — perturb all params
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jnp.ones_like(p), params
+        )
+        y_plain = np.asarray(plain.apply(params, x))
+        y_local = np.asarray(local.apply(params, x))
+        assert not np.allclose(y_plain, y_local, atol=1e-5)
