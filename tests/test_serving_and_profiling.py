@@ -87,3 +87,43 @@ class TestProfiling:
         f = jax.jit(lambda x: x * 1.0001)
         ms = chained_timeit(f, jnp.ones((64, 64)), runs=5, warmup=1)
         assert ms > 0
+
+
+class TestServingEdges:
+    def test_empty_request_list(self, served):
+        net, params = served
+        server = RestorationServer(net, params)
+        assert server.predict([]) == []
+
+    def test_exact_tile_size_direct_path(self, served, rng):
+        from lowlight_image_enhancement_tpu.training.validation import (
+            tiled_inference,
+        )
+
+        x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)),
+                        dtype=jnp.float32)
+        out = tiled_inference(lambda z: z * 2.0, x, tile_size=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0,
+                                   atol=1e-6)
+
+    def test_tiled_batch_gt1_rejected(self, rng):
+        from lowlight_image_enhancement_tpu.training.validation import (
+            tiled_inference,
+        )
+
+        with pytest.raises(ValueError, match="batch size 1"):
+            tiled_inference(lambda z: z, jnp.zeros((2, 64, 64, 3)), 32)
+
+    def test_identity_forward_tiling_exact(self, rng):
+        """Overlap-averaged stitching of an identity model reconstructs
+        the input exactly (weights sum to 1 everywhere)."""
+        from lowlight_image_enhancement_tpu.training.validation import (
+            tiled_inference,
+        )
+
+        x = jnp.asarray(rng.uniform(0, 1, (1, 50, 70, 3)),
+                        dtype=jnp.float32)
+        out = tiled_inference(lambda z: z, x, tile_size=32,
+                              overlap_ratio=0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   atol=1e-6)
