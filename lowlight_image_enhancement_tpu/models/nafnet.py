@@ -176,6 +176,84 @@ class NAFBlock(nn.Module):
         return z + y * gamma.astype(self.dtype)
 
 
+class _Conv2dParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s tree (kernel HWIO + bias)
+    without building the conv — the fused Pallas path consumes the raw
+    arrays, but checkpoints stay interchangeable with the unfused path."""
+
+    shape: Any  # HWIO kernel shape
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       tuple(self.shape), jnp.float32)
+        if not self.use_bias:
+            return k, None
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.shape[-1],), jnp.float32)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter holder matching :class:`LayerNorm2d`'s tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+class FusedNAFBlock(nn.Module):
+    """NAFBlock on the fused Pallas kernels (``ops/pallas/nafblock.py``).
+
+    Input/output layout is ``[N, C, H*W]`` (channels in sublanes, flat
+    spatial in lanes); ``hw`` carries the static spatial shape. The param
+    tree is identical to :class:`NAFBlock` (same names, shapes, inits), so
+    checkpoints trained either way interoperate."""
+
+    features: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dtype: Any = jnp.float32
+    hw: Any = (0, 0)  # static (H, W)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from lowlight_image_enhancement_tpu.ops.pallas.nafblock import (
+            fused_nafblock,
+            make_block_config,
+            pack_params,
+        )
+
+        c = self.features
+        dw = c * self.dw_expand
+        ffn = c * self.ffn_expand
+        n1w, n1b = _LNParams(c, name="norm1")()
+        k1, b1 = _Conv2dParams((1, 1, c, dw), name="conv1")()
+        k2, b2 = _Conv2dParams((3, 3, 1, dw), name="conv2")()
+        ksca, bsca = _Conv2dParams((1, 1, dw // 2, dw // 2),
+                                   name="sca_conv")()
+        k3, b3 = _Conv2dParams((1, 1, dw // 2, c), name="conv3")()
+        n2w, n2b = _LNParams(c, name="norm2")()
+        k4, b4 = _Conv2dParams((1, 1, c, ffn), name="conv4")()
+        k5, b5 = _Conv2dParams((1, 1, ffn // 2, c), name="conv5")()
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        p = pack_params(n1w, n1b, k1, b1, k2, b2, ksca, bsca, k3, b3,
+                        n2w, n2b, k4, b4, k5, b5, beta, gamma)
+        cfg = make_block_config(int(self.hw[0]), int(self.hw[1]), c,
+                                self.dw_expand, self.ffn_expand)
+        if cfg is None:
+            raise ValueError(
+                f"FusedNAFBlock: shape {self.hw} x C={c} not tileable — "
+                "the caller should have fallen back to NAFBlock")
+        return fused_nafblock(x.astype(self.dtype), p, cfg)
+
+
 class _ScanBody(nn.Module):
     """scan body: ``(carry, _) -> (carry, None)`` around one NAFBlock."""
 
@@ -187,9 +265,16 @@ class _ScanBody(nn.Module):
     tlc_window: Any
     deterministic: bool
     dw_shift_add: bool = False
+    fused_hw: Any = None  # static (H, W) -> use FusedNAFBlock
 
     @nn.compact
     def __call__(self, carry, _):
+        if self.fused_hw is not None:
+            y = FusedNAFBlock(
+                self.features, self.dw_expand, self.ffn_expand,
+                self.dtype, self.fused_hw, name="blk",
+            )(carry)
+            return y, None
         y = NAFBlock(
             self.features, self.dw_expand, self.ffn_expand,
             self.dropout_rate, self.dtype, self.tlc_window,
@@ -210,6 +295,7 @@ class _ScanNAFBlocks(nn.Module):
     tlc_window: Any
     deterministic: bool
     dw_shift_add: bool = False
+    fused_hw: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -222,7 +308,8 @@ class _ScanNAFBlocks(nn.Module):
         y, _ = scan(
             self.features, self.dw_expand, self.ffn_expand,
             self.dropout_rate, self.dtype, self.tlc_window,
-            self.deterministic, self.dw_shift_add, name="scan",
+            self.deterministic, self.dw_shift_add, self.fused_hw,
+            name="scan",
         )(x, None)
         return y
 
@@ -264,13 +351,57 @@ class NAFNet(nn.Module):
     Measured on v5e at SID 512^2: 202 ms/step vs 137 ms/step for XLA's
     grouped-conv lowering — keep False; the option exists for other
     chip generations / channel widths."""
+    fused_blocks: Any = False
+    """Run NAFBlocks on the fused Pallas kernels
+    (``ops/pallas/nafblock.py``): channels-in-sublanes layout, whole block
+    in 2 fwd + 2 bwd kernels. ``True`` fuses every eligible stack; an int
+    fuses only stacks with ``channels <= fused_blocks`` (XLA's native
+    layout is competitive once channels fill the 128 lanes). Falls back
+    per-stack when the shape is untileable, dropout is active, or TLC is
+    requested. Param tree is unchanged — checkpoints interoperate."""
 
     @property
     def padder_size(self) -> int:
         return 2 ** len(self.enc_blk_nums)
 
+    def _fused_hw(self, chan, h, w):
+        """(H, W) when this stack should use the fused kernels, else None."""
+        if not self.fused_blocks:
+            return None
+        if self.dropout_rate > 0.0 or self.tlc_window is not None:
+            return None
+        if self.fused_blocks is not True and chan > int(self.fused_blocks):
+            return None
+        from lowlight_image_enhancement_tpu.ops.pallas.nafblock import (
+            make_block_config,
+        )
+
+        cfg = make_block_config(int(h), int(w), chan, self.dw_expand,
+                                self.ffn_expand)
+        return None if cfg is None else (int(h), int(w))
+
     def _block_stack(self, x, num, chan, name, deterministic):
         """Run ``num`` NAFBlocks — unrolled or as a params-stacked scan."""
+        fused_hw = self._fused_hw(chan, x.shape[1], x.shape[2])
+        if fused_hw is not None:
+            n_, h_, w_, c_ = x.shape
+            xt = jnp.transpose(x.astype(self.dtype), (0, 3, 1, 2))
+            xt = xt.reshape(n_, c_, h_ * w_)
+            if self.scan_blocks:
+                xt = _ScanNAFBlocks(
+                    features=chan, num=num, dw_expand=self.dw_expand,
+                    ffn_expand=self.ffn_expand, dropout_rate=0.0,
+                    dtype=self.dtype, tlc_window=None,
+                    deterministic=deterministic, fused_hw=fused_hw,
+                    name=f"{name}_blks",
+                )(xt)
+            else:
+                for bi in range(num):
+                    xt = FusedNAFBlock(
+                        chan, self.dw_expand, self.ffn_expand,
+                        self.dtype, fused_hw, name=f"{name}_blk{bi}",
+                    )(xt)
+            return jnp.transpose(xt.reshape(n_, c_, h_, w_), (0, 2, 3, 1))
         block_cls = (nn.remat(NAFBlock, static_argnums=())
                      if self.remat_blocks else NAFBlock)
         if not self.scan_blocks:
