@@ -46,6 +46,7 @@ class PerceptualLoss:
         criterion: str = "mse",
         taps=("relu5_4",),
         weights_path: Optional[str] = None,
+        require_pretrained: bool = False,
     ):
         if criterion not in {"mse", "l1"}:
             raise ValueError("criterion must be 'mse' or 'l1'")
@@ -53,6 +54,16 @@ class PerceptualLoss:
         self.module, self.variables, self.pretrained = load_vgg19_features(
             taps=taps, weights_path=weights_path
         )
+        if require_pretrained and not self.pretrained:
+            raise RuntimeError(
+                "PerceptualLoss: pretrained VGG19 weights not found. The "
+                "reference trains against ImageNet VGG19 features "
+                "(NewBP_model/losses.py:32-69); training with random "
+                "features silently changes the objective. Provide weights "
+                "(tools/convert_vgg_weights.py -> $LLIE_VGG19_NPZ or "
+                "weights/vgg19_features.npz) or set `pretrained: false` in "
+                "hybrid_opt to opt into random features explicitly."
+            )
 
     def __call__(self, pred: Array, target: Array) -> Array:
         fp = self.module.apply(self.variables, pred)

@@ -104,6 +104,7 @@ class HybridLossPlus:
         physics_psf_module: Optional[CrosstalkPSF] = None,
         perceptual: Optional[PerceptualLoss] = None,
         lpips_fn=None,
+        require_pretrained: bool = False,
         **_ignored: Any,
     ):
         if use_phys:
@@ -119,13 +120,23 @@ class HybridLossPlus:
         self.use_uncertainty = use_uncertainty
 
         self.perceptual = (
-            (perceptual or PerceptualLoss()) if use_perc else None
+            (perceptual
+             or PerceptualLoss(require_pretrained=require_pretrained))
+            if use_perc else None
         )
         self.lpips_fn = lpips_fn
         if use_lpips and lpips_fn is None:
             from lowlight_image_enhancement_tpu.models.lpips import load_lpips
 
-            module, variables, _ = load_lpips(net="vgg")
+            module, variables, lpips_pretrained = load_lpips(net="vgg")
+            if require_pretrained and not lpips_pretrained:
+                raise RuntimeError(
+                    "HybridLossPlus(use_lpips=True): pretrained LPIPS "
+                    "weights not found (the reference uses LPIPS v0.1 vgg, "
+                    "NewBP_model/losses.py:246-252). Provide weights "
+                    "(tools/convert_lpips_weights.py -> $LLIE_LPIPS_NPZ) or "
+                    "set `pretrained: false` to opt into random features."
+                )
             self.lpips_fn = lambda a, b: jnp.mean(
                 module.apply(variables, a * 2.0 - 1.0, b * 2.0 - 1.0)
             )

@@ -351,14 +351,18 @@ class NAFNet(nn.Module):
     Measured on v5e at SID 512^2: 202 ms/step vs 137 ms/step for XLA's
     grouped-conv lowering — keep False; the option exists for other
     chip generations / channel widths."""
-    fused_blocks: Any = False
+    fused_blocks: Any = "auto"
     """Run NAFBlocks on the fused Pallas kernels
     (``ops/pallas/nafblock.py``): channels-in-sublanes layout, whole block
     in 2 fwd + 2 bwd kernels. ``True`` fuses every eligible stack; an int
-    fuses only stacks with ``channels <= fused_blocks`` (XLA's native
-    layout is competitive once channels fill the 128 lanes). Falls back
-    per-stack when the shape is untileable, dropout is active, or TLC is
-    requested. Param tree is unchanged — checkpoints interoperate."""
+    fuses only stacks with ``channels <= fused_blocks``; ``"auto"``
+    (default) fuses ``channels <= 128`` on TPU and nothing elsewhere —
+    measured on v5e at SID 512^2 b2 bf16 full-hybrid: 136.7 -> 47.6
+    ms/step (XLA's native layout is competitive once channels fill the
+    128 lanes, so fusing wider stacks adds nothing). Falls back per-stack
+    when the shape is untileable, dropout is active, or TLC is requested.
+    Param tree is unchanged — checkpoints interoperate, and the fused
+    path composes with sharded jit (DP mesh) and ``scan_blocks``."""
 
     @property
     def padder_size(self) -> int:
@@ -366,11 +370,16 @@ class NAFNet(nn.Module):
 
     def _fused_hw(self, chan, h, w):
         """(H, W) when this stack should use the fused kernels, else None."""
-        if not self.fused_blocks:
+        import os
+
+        if not self.fused_blocks or os.environ.get("LLIE_DISABLE_PALLAS"):
             return None
         if self.dropout_rate > 0.0 or self.tlc_window is not None:
             return None
-        if self.fused_blocks is not True and chan > int(self.fused_blocks):
+        if self.fused_blocks == "auto":
+            if jax.default_backend() != "tpu" or chan > 128:
+                return None
+        elif self.fused_blocks is not True and chan > int(self.fused_blocks):
             return None
         from lowlight_image_enhancement_tpu.ops.pallas.nafblock import (
             make_block_config,

@@ -65,6 +65,12 @@ def build_hybrid_loss(train_opt: Mapping[str, Any]) -> Optional[HybridLossPlus]:
     hybrid_opt.pop("device", None)
     physics = hybrid_opt.pop("physics", None)
     kwargs: Dict[str, Any] = dict(hybrid_opt)
+    # Training configs asking for the perceptual/LPIPS terms get the
+    # reference objective (ImageNet VGG19 / LPIPS v0.1) or a HARD error —
+    # silently training on random features changes the objective. Opt into
+    # random features explicitly with `pretrained: false` in hybrid_opt.
+    kwargs.setdefault("require_pretrained",
+                      bool(kwargs.pop("pretrained", True)))
     if physics and kwargs.get("use_phys", True):
         mode = physics.get("mode", "mono")
         spec = physics.get("kernel_spec")
