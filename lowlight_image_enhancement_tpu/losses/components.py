@@ -33,13 +33,19 @@ from lowlight_image_enhancement_tpu.ops.psf import (
     CrosstalkPSF,
     depthwise_conv,
 )
+from lowlight_image_enhancement_tpu.utils.registry import LOSS_REGISTRY
 
 Array = jax.Array
 ArrayLike = Union[jax.Array, float]
 
 
+@LOSS_REGISTRY.register()
 class PerceptualLoss:
-    """Frozen-VGG19 feature loss on sRGB [0,1] inputs (clamped)."""
+    """Frozen-VGG19 feature loss on sRGB [0,1] inputs (clamped).
+
+    ``loss_weight`` scales the result (config-path parity with the
+    reference's registered perceptual losses used by ``LowlightModel``,
+    ``lowlight_model.py:79-81``)."""
 
     def __init__(
         self,
@@ -47,7 +53,9 @@ class PerceptualLoss:
         taps=("relu5_4",),
         weights_path: Optional[str] = None,
         require_pretrained: bool = False,
+        loss_weight: float = 1.0,
     ):
+        self.loss_weight = float(loss_weight)
         if criterion not in {"mse", "l1"}:
             raise ValueError("criterion must be 'mse' or 'l1'")
         self.criterion = criterion
@@ -75,16 +83,19 @@ class PerceptualLoss:
                 jnp.mean(d * d) if self.criterion == "mse"
                 else jnp.mean(jnp.abs(d))
             )
-        return total / len(fp)
+        return self.loss_weight * total / len(fp)
 
 
+@LOSS_REGISTRY.register()
 class SSIMLoss:
     """DSSIM loss ``(1 - SSIM)/2`` with inputs clamped to [0,1]
     (kornia ``SSIMLoss`` semantics: window 11, max_val 1.0)."""
 
-    def __init__(self, window_size: int = 11, max_val: float = 1.0):
+    def __init__(self, window_size: int = 11, max_val: float = 1.0,
+                 loss_weight: float = 1.0):
         self.window_size = window_size
         self.max_val = max_val
+        self.loss_weight = float(loss_weight)
 
     def __call__(self, pred: Array, target: Array) -> Array:
         p = jnp.clip(pred, 0.0, 1.0)
@@ -92,20 +103,22 @@ class SSIMLoss:
         s = ssim_linear(
             p, t, data_range=self.max_val, kernel_size=self.window_size
         )
-        return (1.0 - s) / 2.0
+        return self.loss_weight * (1.0 - s) / 2.0
 
 
+@LOSS_REGISTRY.register()
 class DeltaE00Loss:
     """Differentiable CIEDE2000 mean over sRGB [0,1] NHWC images."""
 
-    def __init__(self, clamp_input: bool = True):
+    def __init__(self, clamp_input: bool = True, loss_weight: float = 1.0):
         self.clamp_input = clamp_input
+        self.loss_weight = float(loss_weight)
 
     def __call__(self, pred: Array, target: Array) -> Array:
         if self.clamp_input:
             pred = jnp.clip(pred, 0.0, 1.0)
             target = jnp.clip(target, 0.0, 1.0)
-        return jnp.mean(deltaE2000_rgb(pred, target))
+        return self.loss_weight * jnp.mean(deltaE2000_rgb(pred, target))
 
 
 class PhysicsConsistencyLoss:

@@ -121,7 +121,7 @@ def make_block_config(h: int, w: int, c: int, dw_expand: int,
         # the gate split in the kernels assumes dw_expand == 2 (the only
         # value the reference ever uses, NAFNet_arch.py:30)
         return None
-    if h * w * dw_ch <= 2 * budget and c <= 256:
+    if h * w * dw_ch <= budget and c <= 256:
         # whole image per grid step: no halo machinery at all
         return BlockConfig(h, w, h, c, dw_ch, ffn_ch, 0, 0, 0, float(eps),
                            _interpret())

@@ -19,6 +19,7 @@ reference's key set ``lq/gt/short_raw/long_raw/short_obs/expo_ratio``.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections import OrderedDict
 from typing import Any, Dict, Mapping, Optional
@@ -43,6 +44,8 @@ from lowlight_image_enhancement_tpu.training.validation import (
     tiled_inference,
 )
 from lowlight_image_enhancement_tpu.utils.registry import MODEL_REGISTRY
+
+logger = logging.getLogger(__name__)
 
 
 def create_model(opt: Mapping[str, Any]):
@@ -233,10 +236,19 @@ class LowlightModel(_BaseWrapper):
         train_opt = opt.get("train", {}) or {}
         self.net_g = define_network(dict(opt["network_g"]))
 
-        pixel_opt = train_opt.get("pixel_opt") or {"type": "L1Loss"}
-        self.cri_pix = build_loss(pixel_opt)
+        # reference builds each configured term and SUMS them, falling
+        # back to plain L1 when none configured (lowlight_model.py:73-87,
+        # 127-137)
+        self.cri_pix = (build_loss(train_opt["pixel_opt"])
+                        if train_opt.get("pixel_opt") else None)
+        self.cri_perceptual = (build_loss(train_opt["perceptual_opt"])
+                               if train_opt.get("perceptual_opt") else None)
         self.cri_ssim = (build_loss(train_opt["ssim_opt"])
                          if train_opt.get("ssim_opt") else None)
+        if not any([self.cri_pix, self.cri_perceptual, self.cri_ssim]):
+            logger.warning(
+                "LowlightModel: no losses configured; falling back to L1.")
+            self.cri_pix = build_loss({"type": "L1Loss"})
 
         optim_opt = dict(train_opt.get("optim_g",
                                        {"type": "AdamW", "lr": 1e-3}))
@@ -258,13 +270,27 @@ class LowlightModel(_BaseWrapper):
 
         net = self.net_g
         cri_pix = self.cri_pix
+        cri_perceptual = self.cri_perceptual
+        cri_ssim = self.cri_ssim
 
         def loss_fn(trainable, batch):
             out = net.apply({"params": trainable["params"]}, batch["lq"],
                             deterministic=False)
-            total = cri_pix(out, batch["gt"])
-            logs = {"l_pix": jax.lax.stop_gradient(total)}
-            logs["l_total"] = logs["l_pix"]
+            total = jnp.zeros(())
+            logs = {}
+            if cri_pix is not None:
+                l_pix = cri_pix(out, batch["gt"])
+                total = total + l_pix
+                logs["l_pix"] = jax.lax.stop_gradient(l_pix)
+            if cri_perceptual is not None:
+                l_percep = cri_perceptual(out, batch["gt"])
+                total = total + l_percep
+                logs["l_percep"] = jax.lax.stop_gradient(l_percep)
+            if cri_ssim is not None:
+                l_ssim = cri_ssim(out, batch["gt"])
+                total = total + l_ssim
+                logs["l_ssim"] = jax.lax.stop_gradient(l_ssim)
+            logs["l_total"] = jax.lax.stop_gradient(total)
             return total, logs
 
         import optax
