@@ -41,6 +41,47 @@ def get_root_logger(log_file: Optional[str] = None,
     return logger
 
 
+def init_wandb_logger(opt: Mapping[str, Any]) -> None:
+    """wandb in tensorboard-sync mode (reference ``logger.py:101-125``):
+    wandb only mirrors the TensorBoard event stream; ``resume_id`` in
+    ``logger.wandb`` resumes an existing run. Import-guarded — a missing
+    wandb package logs a warning instead of failing the run. Main-process
+    only (the reference's ``@master_only``)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
+    logger = get_root_logger()
+    try:
+        import wandb
+    except ImportError:
+        logger.warning(
+            "logger.wandb configured but the wandb package is not "
+            "installed — skipping wandb sync.")
+        return
+
+    wandb_opt = (opt.get("logger", {}) or {}).get("wandb", {}) or {}
+    project = wandb_opt["project"]
+    resume_id = wandb_opt.get("resume_id")
+    if resume_id:
+        wandb_id = resume_id
+        resume = "allow"
+        logger.warning("Resume wandb logger with id=%s.", wandb_id)
+    else:
+        wandb_id = wandb.util.generate_id()
+        resume = "never"
+    wandb.init(
+        id=wandb_id,
+        resume=resume,
+        name=opt.get("name"),
+        config=dict(opt),
+        project=project,
+        sync_tensorboard=True,
+    )
+    logger.info("Use wandb logger with id=%s; project=%s.", wandb_id,
+                project)
+
+
 def init_tb_logger(log_dir: str):
     """TensorBoard writer, or None if tensorboard is missing."""
     try:

@@ -207,19 +207,45 @@ class ImageRestorationModel(_BaseWrapper):
 
     def validation(self, dataloader, current_iter: int = 0, tb_logger=None,
                    save_img: bool = False, **kwargs) -> Dict[str, float]:
+        """Validate over a loader; multi-host runs stride the batches by
+        process index and allreduce the metric sums (reference
+        ``dist_validation``, ``image_restoration_model.py:344-468``).
+        ``save_img`` writes result PNGs under
+        ``path.visualization/<name>/<name>_<iter>.png`` (reference
+        ``:381-398``)."""
+        from lowlight_image_enhancement_tpu.training.validation import (
+            allreduce_metric_sums,
+            save_result_image,
+        )
+
         metrics_opt = (self.opt.get("val", {}) or {}).get("metrics", {}) or {}
+        rank, world = jax.process_index(), jax.process_count()
+        vis_dir = (self.opt.get("path", {}) or {}).get("visualization")
         sums: Dict[str, float] = {}
         n = 0
-        for batch in dataloader:
+        for bidx, batch in enumerate(dataloader):
+            if bidx % world != rank:
+                continue
             self.feed_data(batch, is_val=True)
             if self._grids_meta:
                 self.test_grids()
             else:
                 self.test()
+            if save_img:
+                names = batch.get("pair_id")
+                name = (str(names[0]) if names is not None
+                        else f"img_{bidx:05d}")
+                out_dir = os.path.join(vis_dir or "visualization", name)
+                suffix = f"_{current_iter}" if self.opt.get("is_train") \
+                    else ""
+                save_result_image(
+                    os.path.join(out_dir, f"{name}{suffix}.png"),
+                    self.output[:1])
             per = compute_metrics(self.output, self.batch["gt"], metrics_opt)
             for k, v in per.items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1
+        sums, n = allreduce_metric_sums(sums, n)
         results = {k: v / n for k, v in sums.items()} if n else {}
         self.log_dict.update({f"m_{k}": v for k, v in results.items()})
         return results

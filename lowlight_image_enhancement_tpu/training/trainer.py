@@ -39,6 +39,7 @@ from lowlight_image_enhancement_tpu.training.logging_utils import (
     MessageLogger,
     get_root_logger,
     init_tb_logger,
+    init_wandb_logger,
 )
 from lowlight_image_enhancement_tpu.training.schedules import make_schedule
 from lowlight_image_enhancement_tpu.training.train_step import (
@@ -184,6 +185,10 @@ class Trainer:
         val_opt = opt.get("val", {}) or {}
         val_freq = int(val_opt.get("val_freq", 0) or 0)
 
+        # wandb must initialize BEFORE the TB writer so sync_tensorboard
+        # hooks the event stream (reference ``train.py:109-115`` ordering)
+        if (logger_opt.get("wandb") or {}).get("project") is not None:
+            init_wandb_logger(opt)
         tb = (init_tb_logger(opt["path"]["log"])
               if logger_opt.get("use_tb_logger") else None)
         msg_logger = MessageLogger(opt, self.start_iter + 1, tb)

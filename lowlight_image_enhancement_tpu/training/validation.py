@@ -121,21 +121,56 @@ def validate(
     overlap_ratio: float = 0.5,
     max_images: Optional[int] = None,
     save_dir: Optional[str] = None,
+    rank: int = 0,
+    world: int = 1,
 ) -> Dict[str, float]:
     """Run validation over a loader of batch dicts with ``lq``/``gt``.
 
     Returns metric means over all images (host aggregation — the
     TPU-native stand-in for the reference's ``dist.reduce`` to rank 0).
     With ``save_dir``, result images are written as PNGs (the reference's
-    ``save_img`` path).
+    ``save_img`` path). ``rank``/``world`` stride the images across
+    processes (reference ``dist_validation``,
+    ``image_restoration_model.py:359-361`` — ``idx % world != rank`` is
+    skipped); callers combine the per-rank sums with
+    :func:`allreduce_metric_sums`.
     """
+    sums, count = strided_metric_sums(
+        forward, loader, metrics_opt, tile_size=tile_size,
+        overlap_ratio=overlap_ratio, max_images=max_images,
+        save_dir=save_dir, rank=rank, world=world,
+    )
+    if count == 0:
+        return {}
+    return {k: v / count for k, v in sums.items()}
+
+
+def strided_metric_sums(
+    forward: Callable[[Array], Array],
+    loader: Iterable[Mapping[str, Any]],
+    metrics_opt: Mapping[str, Mapping[str, Any]],
+    tile_size: Optional[int] = None,
+    overlap_ratio: float = 0.5,
+    max_images: Optional[int] = None,
+    save_dir: Optional[str] = None,
+    rank: int = 0,
+    world: int = 1,
+):
+    """Per-rank metric SUMS and image count over this rank's stride of the
+    val set (images at global index ``i`` with ``i % world == rank``)."""
     sums: Dict[str, float] = {}
     count = 0
+    gidx = 0
     for batch in loader:
         lq = jnp.asarray(batch["lq"])
         gt = jnp.asarray(batch["gt"])
         names = batch.get("pair_id")
         for i in range(lq.shape[0]):
+            my_image = (gidx % world) == rank
+            this_idx = gidx
+            gidx += 1
+            if not my_image:
+                continue
             img = lq[i : i + 1]
             if tile_size:
                 sr = tiled_inference(forward, img, tile_size, overlap_ratio)
@@ -143,7 +178,7 @@ def validate(
                 sr = forward(img)
             if save_dir:
                 name = (names[i] if names is not None
-                        else f"img_{count:05d}")
+                        else f"img_{this_idx:05d}")
                 save_result_image(f"{save_dir}/{name}.png", sr)
             per = compute_metrics(sr, gt[i : i + 1], metrics_opt)
             for k, v in per.items():
@@ -153,6 +188,45 @@ def validate(
                 break
         if max_images and count >= max_images:
             break
+    return sums, count
+
+
+def allreduce_metric_sums(sums: Dict[str, float], count: int):
+    """Sum per-rank metric sums + counts across all JAX processes.
+
+    The TPU-native replacement for the reference's
+    ``torch.distributed.reduce(dst=0)`` of stacked metric tensors
+    (``image_restoration_model.py:447-453``) — every host gets the global
+    result (a ``pmean``-style allreduce rather than reduce-to-rank-0, so
+    rank-0-only logging is a caller policy, not a data dependence).
+    Identity when single-process."""
+    if jax.process_count() == 1:
+        return dict(sums), count
+    from jax.experimental import multihost_utils
+
+    keys = sorted(sums)
+    local = np.asarray([sums[k] for k in keys] + [float(count)], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    total = gathered.sum(axis=0)
+    return ({k: float(total[i]) for i, k in enumerate(keys)},
+            int(total[-1]))
+
+
+def dist_validate(
+    forward: Callable[[Array], Array],
+    loader: Iterable[Mapping[str, Any]],
+    metrics_opt: Mapping[str, Mapping[str, Any]],
+    **kwargs,
+) -> Dict[str, float]:
+    """Multi-host validation: each host computes its ``i % world == rank``
+    stride of the val set, sums are allreduced, means returned on every
+    host (reference ``dist_validation``,
+    ``image_restoration_model.py:344-468``)."""
+    rank = jax.process_index()
+    world = jax.process_count()
+    sums, count = strided_metric_sums(
+        forward, loader, metrics_opt, rank=rank, world=world, **kwargs)
+    sums, count = allreduce_metric_sums(sums, count)
     if count == 0:
         return {}
     return {k: v / count for k, v in sums.items()}

@@ -111,3 +111,63 @@ class TestTraceSummarizer:
     def test_missing_trace_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             summarize_trace(str(tmp_path))
+
+
+class TestWandbLogger:
+    """wandb tensorboard-sync mode (reference ``logger.py:101-125``),
+    exercised with a stub wandb module."""
+
+    def _stub(self, monkeypatch, calls):
+        import sys
+        import types
+
+        stub = types.ModuleType("wandb")
+        stub.util = types.SimpleNamespace(generate_id=lambda: "gen123")
+        stub.init = lambda **kw: calls.append(kw)
+        monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    def test_sync_tensorboard_mode(self, monkeypatch):
+        from lowlight_image_enhancement_tpu.training.logging_utils import (
+            init_wandb_logger,
+        )
+
+        calls = []
+        self._stub(monkeypatch, calls)
+        init_wandb_logger({"name": "exp1",
+                           "logger": {"wandb": {"project": "proj"}}})
+        assert len(calls) == 1
+        kw = calls[0]
+        assert kw["sync_tensorboard"] is True
+        assert kw["project"] == "proj"
+        assert kw["id"] == "gen123" and kw["resume"] == "never"
+
+    def test_resume_id(self, monkeypatch):
+        from lowlight_image_enhancement_tpu.training.logging_utils import (
+            init_wandb_logger,
+        )
+
+        calls = []
+        self._stub(monkeypatch, calls)
+        init_wandb_logger({"name": "exp1", "logger": {"wandb": {
+            "project": "proj", "resume_id": "abc"}}})
+        assert calls[0]["id"] == "abc" and calls[0]["resume"] == "allow"
+
+    def test_missing_wandb_is_nonfatal(self, monkeypatch):
+        import builtins
+        import sys
+
+        from lowlight_image_enhancement_tpu.training.logging_utils import (
+            init_wandb_logger,
+        )
+
+        monkeypatch.delitem(sys.modules, "wandb", raising=False)
+        real_import = builtins.__import__
+
+        def deny(name, *a, **k):
+            if name == "wandb":
+                raise ImportError("no wandb")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", deny)
+        init_wandb_logger({"name": "x",
+                           "logger": {"wandb": {"project": "p"}}})  # no raise
