@@ -52,6 +52,38 @@ def calculate_fid_from_stats(
                  - 2.0 * np.trace(covmean))
 
 
+def vgg_feature_extractor() -> Callable[[np.ndarray], np.ndarray]:
+    """The bundled default FID feature extractor: VGG19 relu5_4 features,
+    spatially mean-pooled to ``[N, 512]``.
+
+    Loads converted ImageNet weights when available (``models/vgg.py``
+    search order); otherwise uses the deterministic random trunk — FID
+    values are then self-consistent (same extractor both sides) but not
+    comparable to published Inception-FID numbers. The returned callable
+    carries ``.metadata`` describing what it is (the reference's in-band
+    measurement-contract convention, ``metrics/ssim.py:313-328``)."""
+    import jax.numpy as jnp
+
+    from lowlight_image_enhancement_tpu.models.vgg import (
+        load_vgg19_features,
+    )
+
+    module, variables, pretrained = load_vgg19_features(taps=("relu5_4",))
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        feats = module.apply(variables, jnp.asarray(images,
+                                                    dtype=jnp.float32))
+        return np.asarray(feats["relu5_4"].mean(axis=(1, 2)))
+
+    extract.metadata = {
+        "extractor": "vgg19_relu5_4_gap",
+        "pretrained": bool(pretrained),
+        "note": ("not InceptionV3 pool3: values are NOT comparable to "
+                 "published Inception-FID numbers"),
+    }
+    return extract
+
+
 def calculate_fid(
     images1: np.ndarray,
     images2: np.ndarray,
@@ -60,16 +92,13 @@ def calculate_fid(
 ) -> float:
     """FID between two image sets (NHWC float [0,1]).
 
-    ``feature_extractor(images) -> [N, D]``; required (no pretrained
-    Inception is bundled — see module docstring).
+    ``feature_extractor(images) -> [N, D]``; defaults to the bundled VGG19
+    trunk (:func:`vgg_feature_extractor` — see its comparability caveat).
+    Precomputed-feature workflows can use ``compute_feature_stats`` +
+    ``calculate_fid_from_stats`` directly.
     """
     if feature_extractor is None:
-        raise ValueError(
-            "calculate_fid requires a feature_extractor callable "
-            "(images -> [N, D]); pretrained InceptionV3 weights are not "
-            "bundled in this image. Precomputed-feature workflows can use "
-            "compute_feature_stats + calculate_fid_from_stats directly."
-        )
+        feature_extractor = vgg_feature_extractor()
 
     def extract(images):
         feats = [

@@ -88,10 +88,21 @@ def _mscn(img: np.ndarray) -> np.ndarray:
 
 
 def _load_pris_params(path: Optional[str]):
-    cand = path or os.environ.get("LLIE_NIQE_PARAMS")
-    if cand and os.path.exists(cand):
-        data = np.load(cand)
-        return data["mu_pris_param"], data["cov_pris_param"]
+    """Search order: explicit path -> $LLIE_NIQE_PARAMS -> the BUNDLED
+    synthetic-corpus fit (``weights/niqe_pris_params_synthetic.npz``,
+    produced by ``tools/make_niqe_params.py --synthetic 64 --seed 0``).
+
+    The bundled model makes NIQE runnable out of the box; its values are
+    self-consistent but will NOT numerically match scores computed against
+    the reference's MATLAB-fit ``niqe_pris_params.npz`` (different
+    pristine corpus). For reference-number parity, point
+    $LLIE_NIQE_PARAMS at that file."""
+    bundled = os.path.join(os.path.dirname(__file__), "..", "weights",
+                           "niqe_pris_params_synthetic.npz")
+    for cand in (path, os.environ.get("LLIE_NIQE_PARAMS"), bundled):
+        if cand and os.path.exists(cand):
+            data = np.load(cand)
+            return data["mu_pris_param"], data["cov_pris_param"]
     raise FileNotFoundError(
         "NIQE pristine-model parameters not found: provide "
         "niqe_pris_params.npz via the `pris_params_path` argument or "

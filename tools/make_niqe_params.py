@@ -65,15 +65,76 @@ def fit_pristine_model(feature_blocks: np.ndarray):
     return mu, cov
 
 
-def main() -> None:
-    import cv2
+def synthetic_pristine_image(rng: np.ndarray, size: int = 384) -> np.ndarray:
+    """One procedural 'pristine' grayscale image with natural-image-like
+    1/f statistics: multi-octave Gaussian-filtered noise composited with
+    a few sharp structural edges, normalized to [0, 255].
 
+    This is the documented corpus behind the BUNDLED
+    ``weights/niqe_pris_params_synthetic.npz``: deterministic (seeded),
+    reproducible with ``--synthetic N``, and sharp/noise-free in the NIQE
+    sense. The fitted mu/cov will NOT numerically match the reference's
+    MATLAB-fit ``niqe_pris_params.npz`` (different corpus); NIQE values
+    are comparable only within one pristine model.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    img = np.zeros((size, size), np.float64)
+    # 1/f octaves: sigma doubles, amplitude halves
+    for octave in range(5):
+        sigma = 2.0 ** (octave + 1)
+        img += gaussian_filter(rng.standard_normal((size, size)),
+                               sigma) * (2.0 ** octave)
+    # structural edges: a few random smooth step functions
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    for _ in range(4):
+        a, b, c = rng.uniform(-2, 2, 3)
+        step = np.tanh(12.0 * (a * xx + b * yy + c))
+        img += rng.uniform(0.5, 1.5) * step * img.std()
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    # mild gamma diversity
+    img = img ** rng.uniform(0.7, 1.4)
+    return img * 255.0
+
+
+def make_synthetic_params(n_images: int = 64, size: int = 384,
+                          block_size: int = 96, seed: int = 0):
+    """Fit the pristine model on the procedural corpus. Returns (mu, cov)."""
+    rng = np.random.default_rng(seed)
+    all_feats = [
+        features_of_image(synthetic_pristine_image(rng, size), block_size)
+        for _ in range(n_images)
+    ]
+    return fit_pristine_model(np.concatenate(all_feats, axis=0))
+
+
+def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", required=True)
+    ap.add_argument("--images", default=None,
+                    help="folder of pristine images; omit with --synthetic")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="fit on N procedural pristine images instead of "
+                         "a folder (documented, seeded corpus)")
     ap.add_argument("--output", default="niqe_pris_params.npz")
     ap.add_argument("--block-size", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    if args.synthetic:
+        mu, cov = make_synthetic_params(args.synthetic,
+                                        block_size=args.block_size,
+                                        seed=args.seed)
+        np.savez(args.output, mu_pris_param=mu, cov_pris_param=cov,
+                 corpus=f"synthetic_v1:n={args.synthetic}:seed={args.seed}")
+        print(f"fit pristine model from {args.synthetic} synthetic images "
+              f"-> {args.output}")
+        return
+
+    import cv2
+
+    if not args.images:
+        raise SystemExit("provide --images DIR or --synthetic N")
     all_feats = []
     names = sorted(os.listdir(args.images))
     for name in names:
@@ -88,7 +149,8 @@ def main() -> None:
     if not all_feats:
         raise SystemExit("no usable images")
     mu, cov = fit_pristine_model(np.concatenate(all_feats, axis=0))
-    np.savez(args.output, mu_pris_param=mu, cov_pris_param=cov)
+    np.savez(args.output, mu_pris_param=mu, cov_pris_param=cov,
+             corpus=f"folder:{os.path.basename(args.images)}")
     print(f"fit pristine model from {len(all_feats)} images "
           f"({sum(len(f) for f in all_feats)} blocks) -> {args.output}")
 
