@@ -84,3 +84,43 @@ class TestSweepConfigs:
         net = define_network(dict(opt["network_g"]))
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
         assert params is not None
+
+
+class TestStereoDemo:
+    def test_demo_ssr_main(self, tmp_path, monkeypatch):
+        """Stereo demo entry (reference ``basicsr/demo_ssr.py``): left +
+        right in, restored left + right out."""
+        import cv2
+        import yaml
+
+        from lowlight_image_enhancement_tpu import demo_ssr as ssr_cli
+
+        cfg = {
+            "name": "ssr_demo_test",
+            "model_type": "ImageRestorationModel",
+            "network_g": {
+                "type": "NAFSSR",
+                "up_scale": 1,
+                "width": 8,
+                "num_blks": 2,
+            },
+            "path": {},
+        }
+        cfg_path = tmp_path / "ssr.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+
+        rng = np.random.default_rng(0)
+        lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+        ol, orr = tmp_path / "ol.png", tmp_path / "or.png"
+        cv2.imwrite(str(lp),
+                    rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
+        cv2.imwrite(str(rp),
+                    rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
+        monkeypatch.setattr(sys, "argv", [
+            "demo_ssr", "-opt", str(cfg_path),
+            "--input_l_path", str(lp), "--input_r_path", str(rp),
+            "--output_l_path", str(ol), "--output_r_path", str(orr),
+        ])
+        ssr_cli.main()
+        assert ol.exists() and orr.exists()
+        assert cv2.imread(str(ol)).shape == (32, 32, 3)

