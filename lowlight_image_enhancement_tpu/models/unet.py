@@ -1,9 +1,26 @@
 """U-Net SID baseline (Flax, NHWC).
 
 Rebuild of reference ``archs/unet_sid_arch.py:11-118`` (component C14):
-classic 2-conv-per-stage U-Net, base 32 channels, depth (32, 64, 128, 256),
-bilinear-resize (default) or transposed-conv upsampling, pad-to-match skip
-connections.
+classic 2-conv-per-stage U-Net — ``inc`` DoubleConv, per-stage
+MaxPool+DoubleConv downs, a ``bottom`` DoubleConv at the lowest scale,
+transposed-conv (or bilinear) ups with pad-to-match skip concats, 1x1
+output conv. Plain conv+ReLU stages with bias, no normalization —
+reference ``unet_sid_arch.py:16-21`` has none.
+
+Reference defect note: the reference's **default** ``bilinear=True`` path
+is structurally broken — ``bottom`` doubles channels to ``C*2``
+(``unet_sid_arch.py:88-89``) but ``Up.up``'s 1x1 conv expects
+``in_channels // 2`` (``:45``), so the forward raises a channel-mismatch
+RuntimeError (verified by executing the reference). Only
+``bilinear=False`` (ConvTranspose ups, ``factor=1``) runs. This rebuild
+keeps ``bilinear=False`` graph-and-numerics compatible with the reference
+(see ``tools/convert_torch_unet.py``), and implements ``bilinear=True`` as
+the *repaired* intended graph: 2x bilinear resize + 1x1 channel-halving
+conv in place of the ConvTranspose, same channel plan as the working path.
+
+``norm='group'`` is an optional (non-reference) extra: GroupNorm after
+each conv, useful at the SID recipe's batch size of 2. Default is
+``'none'`` (reference-faithful).
 """
 
 from __future__ import annotations
@@ -20,18 +37,11 @@ Array = jax.Array
 
 
 class DoubleConv(nn.Module):
-    """Two conv3x3 + norm + ReLU stages.
-
-    Deviation from the reference (which uses BatchNorm2d): normalization is
-    **GroupNorm** by default. Rationale: the SID recipe trains at batch 2,
-    where BN statistics are extremely noisy, and BN's running-stat state
-    complicates the pure-functional train step; GroupNorm is batch-size
-    independent, state-free, and standard practice for small-batch
-    restoration. ``norm='none'`` disables normalization entirely.
-    """
+    """Two conv3x3(+bias) + [optional norm] + ReLU stages
+    (reference ``DoubleConv``, ``unet_sid_arch.py:11-24``)."""
 
     features: int
-    norm: str = "group"
+    norm: str = "none"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,14 +62,22 @@ class DoubleConv(nn.Module):
 @ARCH_REGISTRY.register(name="UNetSIDModel")
 @ARCH_REGISTRY.register()
 class UNetSID(nn.Module):
-    """Encoder-decoder U-Net with skip concats (reference ``UNetSID``)."""
+    """Encoder-decoder U-Net with skip concats (reference ``UNetSID``,
+    ``unet_sid_arch.py:66-114``).
+
+    Stage layout mirrors the reference: ``inc`` -> ``down1..downN``
+    (MaxPool2 + DoubleConv) -> ``bottom`` -> ``upconv{i}`` + ``up{i}``
+    (upsample, pad-to-match, concat [skip, up], DoubleConv) -> ``outc``.
+    With ``bilinear=False`` the graph and parameter tree convert 1:1 from
+    torch checkpoints (``tools/convert_torch_unet.py``).
+    """
 
     in_channels: int = 3
     out_channels: int = 3
     base_channels: int = 32
     depths: Sequence[int] = (32, 64, 128, 256)
     bilinear: bool = True
-    norm: str = "group"
+    norm: str = "none"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,25 +85,32 @@ class UNetSID(nn.Module):
         x = x.astype(self.dtype)
         chans = tuple(self.depths)
 
-        skips = []
         h = DoubleConv(chans[0], self.norm, self.dtype, name="inc")(x)
+        skips = []
         for i, c in enumerate(chans[1:], start=1):
             skips.append(h)
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = DoubleConv(c, self.norm, self.dtype, name=f"down{i}")(h)
+
+        # extra 2-conv stage at the lowest scale (reference ``bottom``,
+        # factor=1 — the working ConvTranspose graph)
+        h = DoubleConv(chans[-1], self.norm, self.dtype, name="bottom")(h)
 
         for i, c in enumerate(reversed(chans[:-1]), start=1):
             if self.bilinear:
                 n, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (n, hh * 2, ww * 2, cc),
                                      method="bilinear")
+                h = nn.Conv(c, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"upconv{i}")(h)
             else:
                 h = nn.ConvTranspose(c, (2, 2), strides=(2, 2),
                                      dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      name=f"upconv{i}")(h)
             skip = skips[-i]
-            # pad-to-match (odd input sizes)
+            # pad-to-match (odd input sizes), reference ``Up.forward``
             dh = skip.shape[1] - h.shape[1]
             dw = skip.shape[2] - h.shape[2]
             if dh or dw:

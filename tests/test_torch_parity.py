@@ -25,6 +25,7 @@ from convert_torch_nafnet import convert_state_dict, flat_to_tree  # noqa: E402
 REFERENCE_ARCH = "/root/reference/NAFNet_base/basicsr/models/archs/NAFNet_arch.py"
 REFERENCE_UTIL = "/root/reference/NAFNet_base/basicsr/models/archs/arch_util.py"
 REFERENCE_LOCAL = "/root/reference/NAFNet_base/basicsr/models/archs/local_arch.py"
+REFERENCE_UNET = "/root/reference/NAFNet_base/basicsr/models/archs/unet_sid_arch.py"
 
 
 def _load_reference_nafnet():
@@ -53,6 +54,18 @@ def _load_reference_nafnet():
     load(REFERENCE_LOCAL, "basicsr.models.archs.local_arch")
     arch = load(REFERENCE_ARCH, "basicsr.models.archs.NAFNet_arch")
     return arch.NAFNet
+
+
+def _load_reference_unet():
+    """Load the reference UNetSID (standalone torch module, no package
+    context needed)."""
+    import torch  # noqa: F401
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_sid", REFERENCE_UNET)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.UNetSID
 
 
 needs_reference = pytest.mark.skipif(
@@ -190,3 +203,87 @@ class TestTorchParity:
             jax.tree_util.tree_flatten_with_path(converted)[0]
         }
         assert flat_init == flat_conv
+
+
+@needs_reference
+class TestUNetTorchParity:
+    """UNetSID parity (reference ``archs/unet_sid_arch.py:11-118``).
+
+    Only the reference's working graph (``bilinear=False``) is comparable —
+    its default bilinear graph crashes on a channel mismatch, which the
+    defect test below pins as executable documentation.
+    """
+
+    def _torch_unet(self, depth, seed=0):
+        import torch
+
+        TorchUNet = _load_reference_unet()
+        tnet = TorchUNet(depth=list(depth), bilinear=False).eval()
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            for p in tnet.parameters():
+                p.copy_(torch.randn_like(p) * 0.05)
+        return tnet
+
+    @pytest.mark.parametrize("shape", [(1, 32, 32, 3), (2, 24, 40, 3)])
+    def test_forward_parity(self, rng, shape):
+        import torch
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from convert_torch_unet import convert_unet_state_dict
+
+        depth = (8, 16, 32)
+        tnet = self._torch_unet(depth)
+        x = rng.uniform(0, 1, shape).astype(np.float32)
+        with torch.no_grad():
+            t_out = np.transpose(
+                tnet(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+                .numpy(), (0, 2, 3, 1))
+
+        from lowlight_image_enhancement_tpu.models.unet import UNetSID
+
+        jnet = UNetSID(depths=depth, bilinear=False, norm="none")
+        params = flat_to_tree(convert_unet_state_dict(tnet.state_dict()))
+        j_out = np.asarray(jnet.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(j_out, t_out, atol=1e-4, rtol=1e-4)
+
+    def test_converted_param_tree_complete(self):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from convert_torch_unet import convert_unet_state_dict
+
+        depth = (8, 16, 32)
+        tnet = self._torch_unet(depth)
+        from lowlight_image_enhancement_tpu.models.unet import UNetSID
+
+        jnet = UNetSID(depths=depth, bilinear=False, norm="none")
+        init_params = jnet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        converted = flat_to_tree(convert_unet_state_dict(tnet.state_dict()))
+        flat = lambda tree: {
+            "/".join(str(p.key) for p in path): leaf.shape
+            for path, leaf in
+            jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+        assert flat(init_params) == flat(converted)
+
+    def test_reference_bilinear_default_is_broken(self):
+        """Executable documentation of the reference defect: the default
+        ``bilinear=True`` graph raises a channel mismatch
+        (``unet_sid_arch.py:45`` expects C/2 where ``bottom`` emits C).
+        Our ``bilinear=True`` is the repaired graph and must run."""
+        import torch
+
+        TorchUNet = _load_reference_unet()
+        tnet = TorchUNet(depth=[8, 16, 32], bilinear=True).eval()
+        with pytest.raises(RuntimeError):
+            with torch.no_grad():
+                tnet(torch.zeros(1, 3, 32, 32))
+
+        from lowlight_image_enhancement_tpu.models.unet import UNetSID
+
+        jnet = UNetSID(depths=(8, 16, 32), bilinear=True)
+        params = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        y = jnet.apply(params, jnp.zeros((1, 32, 32, 3)))
+        assert y.shape == (1, 32, 32, 3)
