@@ -65,6 +65,7 @@ class TestMixup:
         out = f(jax.random.PRNGKey(0), batch)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    @pytest.mark.slow
     def test_mixup_in_train_step(self, rng):
         from lowlight_image_enhancement_tpu.losses import HybridLossPlus
         from lowlight_image_enhancement_tpu.models import NAFNet
@@ -176,6 +177,7 @@ class TestDistValidation:
         np.testing.assert_allclose(a["psnr"], b["psnr"], rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestWrapperSaveImg:
     def test_validation_save_img_writes_visualization_pngs(self, tmp_path,
                                                            rng):

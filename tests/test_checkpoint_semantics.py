@@ -57,6 +57,7 @@ class TestLatestScan:
 
 
 class TestPSFStateImmutability:
+    @pytest.mark.slow
     def test_psf_untouched_by_optimizer(self, rng):
         """The PSF kernel is not a parameter: after optimization steps the
         loss module's kernel is bit-identical (reference

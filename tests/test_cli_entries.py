@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 from lowlight_image_enhancement_tpu.data import make_debug_sid
 
 CONFIGS = pathlib.Path(__file__).parent.parent / "configs"

@@ -91,6 +91,7 @@ class TestCiede2000Gold:
         dii = np.asarray(ciede2000_lab(lab, lab))
         np.testing.assert_allclose(dii, 0.0, atol=1e-3)
 
+    @pytest.mark.slow
     def test_gradient_finite_on_neutral_pixels(self, rng):
         """Regression: atan2(0,0) NaN-gradient trap — gray images (zero
         chroma) must still produce finite CIEDE2000 gradients."""

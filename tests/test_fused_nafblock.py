@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 from lowlight_image_enhancement_tpu.models.nafnet import NAFBlock, NAFNet
 from lowlight_image_enhancement_tpu.ops.pallas.nafblock import (
     BlockConfig,

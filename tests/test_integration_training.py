@@ -10,6 +10,8 @@ import pathlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 from lowlight_image_enhancement_tpu.data import make_debug_sid
 from lowlight_image_enhancement_tpu.training.config import dict2str, parse
 from lowlight_image_enhancement_tpu.training.trainer import Trainer

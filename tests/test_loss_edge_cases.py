@@ -50,6 +50,7 @@ S = 32
 
 
 class TestEdgeCases:
+    @pytest.mark.slow
     def test_pure_black_everything(self):
         z = jnp.zeros((1, S, S, 3))
         _finite_value_and_grad(_full_loss(), _batch(z, z, z, 100.0))

@@ -196,6 +196,7 @@ class TestHybridLossPlus:
         with pytest.raises(FloatingPointError, match="non-finite"):
             assert_finite_logs({"l_total": jnp.asarray(jnp.nan)})
 
+    @pytest.mark.slow
     def test_perceptual_path_runs(self, rng):
         """Perceptual term with (deterministic random-init) VGG features."""
         loss = HybridLossPlus(

@@ -33,6 +33,7 @@ def pair(rng):
 
 
 class TestLpipsWrappers:
+    @pytest.mark.slow
     def test_metric_monotone_and_metadata(self, pair):
         a, b = pair
         m = LPIPSMetric(net="alex")

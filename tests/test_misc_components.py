@@ -99,6 +99,7 @@ class TestTLC:
         assert y.shape == x.shape
 
 
+@pytest.mark.slow
 class TestNAFSSR:
     def test_stereo_forward_and_grad(self, rng):
         from lowlight_image_enhancement_tpu.models.nafssr import NAFSSR
@@ -208,6 +209,7 @@ class TestNAFNetLocalBehavior:
         np.testing.assert_allclose(np.asarray(y_local),
                                    np.asarray(y_plain), atol=1e-5)
 
+    @pytest.mark.slow
     def test_small_window_differs_from_global(self, rng):
         import jax
         import jax.numpy as jnp

@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 from lowlight_image_enhancement_tpu.training.model_wrapper import (
     ImageRestorationModel,
     LowlightModel,

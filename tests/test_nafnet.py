@@ -78,6 +78,7 @@ class TestPrimitives:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestNAFNet:
     def test_forward_shape_and_residual_init(self, rng):
         """beta/gamma zero-init => initial output ~ input + conv paths only

@@ -69,6 +69,7 @@ class TestManifestBuilder:
                    if r["pair_id"].startswith("00001"))
 
 
+@pytest.mark.slow
 class TestPackBuilder:
     def test_pack_and_dataset_roundtrip(self, png_tree, tmp_path):
         manifest = tmp_path / "manifest.json"

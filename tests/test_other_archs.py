@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 from lowlight_image_enhancement_tpu.models import define_network
 from lowlight_image_enhancement_tpu.models.swinir import (
     SwinIR,

@@ -18,6 +18,8 @@ Also covers the missing-pretrained-weights hard-error contract
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

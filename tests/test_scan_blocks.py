@@ -2,6 +2,8 @@
 must be numerically identical to the unrolled network given converted
 params, in both directions."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,8 @@ from lowlight_image_enhancement_tpu.models.nafnet import (
     stack_block_params,
     unstack_block_params,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (see pytest.ini)
 
 
 def _nets():

@@ -147,6 +147,7 @@ class TestFid:
         fid = calculate_fid_from_stats(mu1, c1, mu2, c2)
         assert fid > 8 * 3.0  # ~ |shift|^2 per dim
 
+    @pytest.mark.slow
     def test_default_vgg_extractor_runnable(self, rng):
         """calculate_fid is runnable with zero arguments beyond images
         (VERDICT r1 missing #5) via the bundled VGG trunk extractor."""

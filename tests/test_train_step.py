@@ -57,6 +57,7 @@ def tiny_setup(use_uncertainty=False, dtype=jnp.float32):
     return net, psf, loss, step, state
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_five_steps_loss_decreases(self, rng):
         """Mirror of the reference AMP integration test: 5 steps on one
@@ -117,6 +118,7 @@ class TestTrainStep:
         assert out.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 class TestDataParallel:
     def test_8_device_mesh_training(self, rng):
         """Full data-parallel step over the virtual 8-device CPU mesh:
