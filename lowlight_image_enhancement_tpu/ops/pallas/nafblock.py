@@ -55,13 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+import os
+
 # v5e scoped-VMEM default is 16 MB; the P2 kernel's fp32 recompute
-# intermediates at th=16/512-wide rows need slightly more headroom.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# intermediates need more headroom, and the 2-slot DMA pipeline doubles
+# the input scratch. Both knobs are env-overridable for tile sweeps
+# (tools/bench_kernels.py measured th=16 / 48 MB as the v5e sweet spot).
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=int(os.environ.get("LLIE_NAFBLOCK_VMEM_MB", "48"))
+    * 1024 * 1024)
 
 # Upper bound on elements of the widest (2C-channel) fp32 intermediate per
 # row tile — keeps per-kernel VMEM usage around a few MB.
-_TILE_ELEM_BUDGET = 640 * 1024
+_TILE_ELEM_BUDGET = int(os.environ.get("LLIE_NAFBLOCK_TILE_BUDGET",
+                                       str(640 * 1024)))
 
 
 def _interpret() -> bool:
@@ -141,42 +148,73 @@ def make_block_config(h: int, w: int, c: int, dw_expand: int,
 # ---------------------------------------------------------------------------
 
 
-def _shift_flat(x: Array, dr: int, dc: int, w: int) -> Array:
-    """``out[c, r*w+col] = x[c, (r+dr)*w + (col+dc)]`` with zero fill for
-    out-of-range *columns*. Row validity is the caller's job (halo rows)."""
-    d = dr * w + dc
-    ch, length = x.shape
+def _shift_rows(x: Array, dr: int, w: int) -> Array:
+    """Whole-row lane shift by ``dr`` rows with zero fill at the array
+    edge. Column alignment is preserved (shift is a multiple of ``w``);
+    halo rows supply cross-tile validity."""
+    d = dr * w
+    ch, _ = x.shape
     if d > 0:
-        y = jnp.concatenate(
+        return jnp.concatenate(
             [x[:, d:], jnp.zeros((ch, d), x.dtype)], axis=1)
-    elif d < 0:
-        y = jnp.concatenate(
+    if d < 0:
+        return jnp.concatenate(
             [jnp.zeros((ch, -d), x.dtype), x[:, :d]], axis=1)
-    else:
-        y = x
-    if dc != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % w
-        valid = (col <= w - 2) if dc == 1 else (col >= 1)
-        y = jnp.where(valid, y, jnp.zeros((), x.dtype))
-    return y
+    return x
 
 
-def _dwconv(t: Array, kdw: Array, w: int, adjoint: bool = False) -> Array:
-    """Depthwise 3x3 (or its adjoint) on the flat layout.
+def _col_masks(w: int, length: int):
+    """Hoisted column-validity masks, computed once per kernel body.
+
+    ``m0`` zeroes column 0 (the sources a ``dc=+1`` shift must not read
+    across the row boundary); ``mW`` zeroes column ``w-1`` (ditto for
+    ``dc=-1``). Premasking the *source* once replaces the per-tap
+    postmask of the naive 9-shift lowering."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % w
+    return col != 0, col != (w - 1)
+
+
+def _shift_cols(x: Array, dc: int, masks) -> Array:
+    """Single-column lane shift with row-boundary premask (see
+    :func:`_col_masks`). ``dc`` in {-1, 0, +1}."""
+    if dc == 0:
+        return x
+    ch, _ = x.shape
+    xm = jnp.where(masks[0] if dc > 0 else masks[1], x,
+                   jnp.zeros((), x.dtype))
+    if dc > 0:
+        return jnp.concatenate(
+            [xm[:, dc:], jnp.zeros((ch, dc), x.dtype)], axis=1)
+    return jnp.concatenate(
+        [jnp.zeros((ch, -dc), x.dtype), xm[:, :dc]], axis=1)
+
+
+def _dwconv(t: Array, kdw: Array, w: int, masks=None,
+            adjoint: bool = False) -> Array:
+    """Depthwise 3x3 (or its adjoint) on the flat layout, factorized.
 
     ``t``: [DW, L]; ``kdw``: [DW, 9] with tap order ``kh*3+kw`` (torch/Flax
     HWIO). Forward matches ``nn.Conv(feature_group_count=DW, SAME)``; the
     adjoint negates the shifts (``conv_transpose`` with the same kernel,
-    reference ``NewBP_model/newbp_layer.py:7-21`` precedent)."""
+    reference ``NewBP_model/newbp_layer.py:7-21`` precedent).
+
+    Lowering: ``out = sum_dc shift_col(dc, sum_dr k[dr,dc] *
+    shift_row(dr, t))`` — 2 row shifts (no masks: halo rows carry
+    validity), 9 FMAs, 2 premasked column shifts. ~23 VPU ops/element vs
+    ~45 for the naive per-tap shift+mask form (measured bottleneck)."""
+    if masks is None:
+        masks = _col_masks(w, t.shape[1])
+    sgn = -1 if adjoint else 1
+    rows = {dr: _shift_rows(t, sgn * dr, w) for dr in (-1, 0, 1)}
     out = None
-    for kh in range(3):
-        for kw_ in range(3):
-            dr, dc = kh - 1, kw_ - 1
-            if adjoint:
-                dr, dc = -dr, -dc
-            tap = kdw[:, kh * 3 + kw_ : kh * 3 + kw_ + 1]
-            term = tap * _shift_flat(t, dr, dc, w)
-            out = term if out is None else out + term
+    for dc in (-1, 0, 1):
+        s = None
+        for dr in (-1, 0, 1):
+            tap = kdw[:, (dr + 1) * 3 + dc + 1 : (dr + 1) * 3 + dc + 2]
+            term = tap * rows[dr]
+            s = term if s is None else s + term
+        s = _shift_cols(s, sgn * dc, masks)
+        out = s if out is None else out + s
     return out
 
 
@@ -233,12 +271,12 @@ def _aligned(off):
     return pl.multiple_of(off, 128)
 
 
-def _dma_rows(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int, w: int,
-              halo: int, n_i: int, ch: int, dtype):
-    """Copy rows ``[i*th - halo, (i+1)*th + halo)`` of ``hbm_ref[n]`` into
-    ``scratch_ref`` ([ch, (th + 2*halo)*w]), zero-filling rows outside the
-    image. Three aligned DMAs (top halo, body, bottom halo). Returns a
-    closure that waits on every started copy."""
+def _dma_copies(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int,
+                w: int, halo: int, n_i: int):
+    """The three DMA descriptors moving rows ``[i*th - halo,
+    (i+1)*th + halo)`` of ``hbm_ref[n]`` into ``scratch_ref``
+    ([ch, (th + 2*halo)*w]): (body, top halo, bottom halo). top/bot are
+    valid iff ``i > 0`` / ``i < n_i - 1``."""
     thw = th * w
     hw_ = halo * w
 
@@ -265,6 +303,20 @@ def _dma_rows(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int, w: int,
             sems.at[sem_base + 2],
         )
 
+    return body_copy, top_copy, bot_copy
+
+
+def _dma_rows_start(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int,
+                    w: int, halo: int, n_i: int, ch: int, dtype):
+    """Start the three copies for grid step ``(n, i)`` and zero-fill the
+    edge halo rows. Pair with :func:`_dma_rows_wait` (same arguments) —
+    issued one grid step ahead, the copies overlap the previous step's
+    compute (2-slot software pipeline)."""
+    thw = th * w
+    hw_ = halo * w
+    body_copy, top_copy, bot_copy = _dma_copies(
+        hbm_ref, scratch_ref, sems, sem_base, n, i, th, w, halo, n_i)
+
     body_copy().start()
 
     @pl.when(i > 0)
@@ -283,18 +335,68 @@ def _dma_rows(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int, w: int,
     def _():
         scratch_ref[:, hw_ + thw:2 * hw_ + thw] = jnp.zeros((ch, hw_), dtype)
 
-    def wait():
-        body_copy().wait()
 
-        @pl.when(i > 0)
-        def _():
-            top_copy().wait()
+def _dma_rows_wait(hbm_ref, scratch_ref, sems, sem_base, n, i, th: int,
+                   w: int, halo: int, n_i: int):
+    """Wait for the copies started by :func:`_dma_rows_start` for ``(n,
+    i)`` (descriptors are rebuilt; they must match the started ones)."""
+    body_copy, top_copy, bot_copy = _dma_copies(
+        hbm_ref, scratch_ref, sems, sem_base, n, i, th, w, halo, n_i)
+    body_copy().wait()
 
-        @pl.when(i < n_i - 1)
-        def _():
-            bot_copy().wait()
+    @pl.when(i > 0)
+    def _():
+        top_copy().wait()
 
-    return wait
+    @pl.when(i < n_i - 1)
+    def _():
+        bot_copy().wait()
+
+
+def _next_step(n, i, n_i: int):
+    """Grid-order successor of ``(n, i)`` (i fastest)."""
+    wrap = i == n_i - 1
+    return jnp.where(wrap, n + 1, n), jnp.where(wrap, 0, i + 1)
+
+
+def _pipelined_fetch(fetches, n, i, n_i: int, n_n: int):
+    """2-slot software pipeline over manual row DMAs.
+
+    ``fetches``: list of (hbm_ref, scratch2_ref [2, ch, L], sems, halo,
+    th, w, ch, dtype). Starts step (n,i)'s copies at the previous grid
+    step (prefetch), waits them here, and returns the VMEM views for the
+    current step. Overlaps the halo DMAs with compute — the serialized
+    wait cost ~30-50% of kernel A/P2 time before this."""
+    step = n * n_i + i
+    par = step % 2
+    n2, i2 = _next_step(n, i, n_i)
+    last = step == n_n * n_i - 1
+
+    @pl.when(step == 0)
+    def _():
+        # no previous step started our copies — start them now (slot 0)
+        for hbm, scr, sems, halo, th, w, ch, dt in fetches:
+            _dma_rows_start(hbm, scr.at[0], sems, 0, n, i,
+                            th, w, halo, n_i, ch, dt)
+
+    for slot in (0, 1):
+        @pl.when(jnp.logical_not(last) & (par != slot))
+        def _(slot=slot):
+            # prefetch the NEXT grid step's rows into the other slot
+            for hbm, scr, sems, halo, th, w, ch, dt in fetches:
+                _dma_rows_start(hbm, scr.at[slot], sems, slot * 3, n2, i2,
+                                th, w, halo, n_i, ch, dt)
+
+    views = []
+    for hbm, scr, sems, halo, th, w, ch, dt in fetches:
+        for slot in (0, 1):
+            @pl.when(par == slot)
+            def _(hbm=hbm, scr=scr, sems=sems, halo=halo, th=th, w=w,
+                  slot=slot):
+                _dma_rows_wait(hbm, scr.at[slot], sems, slot * 3, n, i,
+                               th, w, halo, n_i)
+        views.append(scr[par])
+    return views
 
 
 def _full_spec(arr):
@@ -351,10 +453,9 @@ def _kernel_a(x_hbm, w1n, b1n, w1m, b1, kdw, bk,          # inputs
     if ha == 0:
         xv = x_hbm[0]          # whole-image variant: x is a VMEM block
     else:
-        wait = _dma_rows(x_hbm, xin, sems, 0, n, i, th, w, ha, n_i, c,
-                         xin.dtype)
-        wait()
-        xv = xin[...]
+        (xv,) = _pipelined_fetch(
+            [(x_hbm, xin, sems, ha, th, w, c, xin.dtype)],
+            n, i, n_i, pl.num_programs(0))
 
     xf = xv.astype(jnp.float32)
     h, _, _ = _ln_fwd(xf, w1n[...], b1n[...], cfg.eps)
@@ -395,9 +496,9 @@ def _call_a(x, p, cfg: BlockConfig, cdt):
             jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cfg.c, (cfg.th + 2 * max(cfg.ha, 1)) * cfg.w),
+            pltpu.VMEM((2, cfg.c, (cfg.th + 2 * max(cfg.ha, 1)) * cfg.w),
                        x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=cfg.interpret,
@@ -561,7 +662,7 @@ def _call_p1(x, g, dout, att, p, cfg: BlockConfig, cdt):
 def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
                w1n, b1n, w1m, b1, kdw,
                dx_out, dw1_a, db1_a, dw1n_a, db1n_a, dkdw_a, dbk_a,
-               xin, dgin, sems,
+               xin, dgin, semx, semg,
                *, cfg: BlockConfig, cdt):
     n = pl.program_id(0)
     i = pl.program_id(1)
@@ -576,14 +677,10 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
         xv = x_hbm[0]
         dgv = dgl_hbm[0]
     else:
-        wait_x = _dma_rows(x_hbm, xin, sems, 0, n, i, th, w, hx, n_i, c,
-                           xin.dtype)
-        wait_g = _dma_rows(dgl_hbm, dgin, sems, 3, n, i, th, w, hg, n_i, c,
-                           dgin.dtype)
-        wait_x()
-        wait_g()
-        xv = xin[...]
-        dgv = dgin[...]
+        xv, dgv = _pipelined_fetch(
+            [(x_hbm, xin, semx, hx, th, w, c, xin.dtype),
+             (dgl_hbm, dgin, semg, hg, th, w, c, dgin.dtype)],
+            n, i, n_i, pl.num_programs(0))
 
     # --- recompute LN1 / conv1 / depthwise on the x halo grid ---
     xf = xv.astype(jnp.float32)
@@ -605,18 +702,39 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
                        jnp.zeros((), dg.dtype))
     du = jnp.concatenate([dg * u_h[c:], dg * u_h[:c]], axis=0)
 
-    # --- depthwise backward ---
-    du_mid = du[:, hg * w:(hg + th) * w]
-    _accumulate(dbk_a, jnp.sum(du_mid, axis=1, keepdims=True), first)
-    dk_cols = []
-    for kh in range(3):
-        for kw_ in range(3):
-            shifted = _shift_flat(t_h, kh - 1, kw_ - 1,
-                                  w)[:, hg * w:(hg + th) * w]
-            dk_cols.append(
-                jnp.sum(du_mid * shifted, axis=1, keepdims=True))
+    # --- depthwise backward, factorized with shared shift tensors ---
+    # D[dc][p] = du[p - dc] (premasked column shifts) feeds BOTH the
+    # adjoint (dt = sum_dr shift_row(-dr, sum_dc k[dr,dc] D[dc])) and,
+    # row-masked to this tile's mid region (Dz), the tap grads
+    # dK[dr,dc] = sum Dz[dc] * shift_row(dr, t) — so the 9-tap gradient
+    # costs 9 multiply-reduces instead of 9 masked shifts.
+    masks_g = _col_masks(w, r1l)
+    D = {dc: _shift_cols(du, -dc, masks_g) for dc in (-1, 0, 1)}
+    if hg > 0:
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (1, r1l), 1) // w
+        mid = (lrow >= hg) & (lrow < hg + th)
+        Dz = {dc: jnp.where(mid, v, jnp.zeros((), v.dtype))
+              for dc, v in D.items()}
+    else:
+        Dz = D
+    _accumulate(dbk_a, jnp.sum(Dz[0], axis=1, keepdims=True), first)
+    rows_t = {dr: _shift_rows(t_h, dr, w) for dr in (-1, 0, 1)}
+    dk_cols = [
+        jnp.sum(Dz[kw_ - 1] * rows_t[kh - 1], axis=1, keepdims=True)
+        for kh in range(3) for kw_ in range(3)
+    ]
     _accumulate(dkdw_a, jnp.concatenate(dk_cols, axis=1), first)
-    dt = _dwconv(du, kdw[...], w, adjoint=True)[:, hg * w:(hg + th) * w]
+    kdwv = kdw[...]
+    dt = None
+    for dr in (-1, 0, 1):
+        s = None
+        for dc in (-1, 0, 1):
+            tap = kdwv[:, (dr + 1) * 3 + dc + 1 : (dr + 1) * 3 + dc + 2]
+            term = tap * D[dc]
+            s = term if s is None else s + term
+        s = _shift_rows(s, -dr, w)
+        dt = s if dt is None else dt + s
+    dt = dt[:, hg * w:(hg + th) * w]
 
     # --- conv1 backward ---
     h_mid = h[:, hx * w:(hx + th) * w]
@@ -669,9 +787,11 @@ def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
             jax.ShapeDtypeStruct((dwc, 1), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, (cfg.th + 2 * max(cfg.hx, 1)) * cfg.w), x.dtype),
-            pltpu.VMEM((c, (cfg.th + 2 * max(cfg.hg, 1)) * cfg.w),
+            pltpu.VMEM((2, c, (cfg.th + 2 * max(cfg.hx, 1)) * cfg.w),
+                       x.dtype),
+            pltpu.VMEM((2, c, (cfg.th + 2 * max(cfg.hg, 1)) * cfg.w),
                        dgl.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=_COMPILER_PARAMS,
