@@ -117,14 +117,16 @@ class RestorationServer:
             tiled_inference,
         )
 
-        fn = self._forward_fn(8, self.max_bucket, self.max_bucket)
+        nd = self.mesh.devices.size if self.mesh is not None else 1
+        bt = max(8, nd)
+        fn = self._forward_fn(bt, self.max_bucket, self.max_bucket)
 
         def forward(tiles):
             return fn(self.params, tiles)
 
         out = tiled_inference(
             forward, jnp.asarray(img[None]), self.max_bucket,
-            self.tile_overlap,
+            self.tile_overlap, batch_tiles=bt, mesh=self.mesh,
         )
         return np.asarray(out[0])
 

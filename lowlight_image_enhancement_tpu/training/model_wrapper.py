@@ -136,6 +136,7 @@ class ImageRestorationModel(_BaseWrapper):
             betas=tuple(optim_opt.pop("betas", (0.9, 0.999))),
             weight_decay=float(optim_opt.pop("weight_decay", 0.01)),
             use_grad_clip=bool(train_opt.get("use_grad_clip", True)),
+            accum_steps=int(train_opt.get("accum_steps", 1)),
         )
         seed = int(opt.get("manual_seed", 0))
         self.state = create_train_state(
@@ -287,6 +288,7 @@ class LowlightModel(_BaseWrapper):
             weight_decay=float(optim_opt.pop("weight_decay", 0.0)),
             use_grad_clip=bool(train_opt.get("use_grad_clip", False)),
             grad_clip_norm=float(train_opt.get("grad_clip_norm", 1.0)),
+            accum_steps=int(train_opt.get("accum_steps", 1)),
         )
         seed = int(opt.get("manual_seed", 0))
         self.state = create_train_state(

@@ -80,9 +80,18 @@ def make_optimizer(
     learning_rate, optim_type: str = "AdamW",
     betas=(0.9, 0.999), weight_decay: float = 0.01,
     use_grad_clip: bool = True, grad_clip_norm: float = 0.01,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Reference optimizer recipe: AdamW(lr cosine, wd 0.01) + global-norm
-    clip 0.01 (``image_restoration_model.py:112-142`` + clip at ``:305``)."""
+    clip 0.01 (``image_restoration_model.py:112-142`` + clip at ``:305``).
+
+    ``accum_steps > 1`` enables gradient accumulation (no reference
+    counterpart — SURVEY §2.9 lists it absent there): every k-th
+    ``update`` applies the mean of the last k micro-batch gradients and
+    the first k-1 emit zero updates. Clipping and the LR schedule see
+    only the applied (averaged) step, matching what a k×-larger batch
+    would do. Lets memory-limited TPU configs (full-resolution crops,
+    remat off) keep the reference's effective batch size."""
     if optim_type == "AdamW":
         tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
                          weight_decay=weight_decay)
@@ -94,6 +103,10 @@ def make_optimizer(
         raise ValueError(f"unsupported optimizer {optim_type!r}")
     if use_grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if int(accum_steps) > 1:
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=int(accum_steps)
+        ).gradient_transformation()
     return tx
 
 

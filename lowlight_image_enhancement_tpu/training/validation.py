@@ -42,18 +42,39 @@ def tiled_inference(
     tile_size: int,
     overlap_ratio: float = 0.5,
     batch_tiles: int = 8,
+    mesh=None,
 ) -> Array:
     """Sliding-window inference with overlap averaging (NHWC, N==1).
 
     ``forward`` maps ``[B, tile, tile, C] -> [B, tile, tile, C]`` (jitted
     once; all tile batches padded to ``batch_tiles`` for a single static
     shape).
+
+    ``mesh``: optional 1-D device mesh (``parallel.create_mesh``) — the
+    tile batch is sharded over its ``data`` axis, so one large image's
+    tiles run data-parallel across chips. This is the TPU-native
+    *spatial* scale-out the reference lacks (its ``grids`` tiling,
+    ``image_restoration_model.py:167-245``, is single-GPU): tiles are
+    independent, so the partitioned forward needs no collectives and
+    scales linearly over ICI. ``batch_tiles`` is rounded up to a multiple
+    of the mesh size.
     """
     n, h, w, c = img.shape
     if n != 1:
         raise ValueError("tiled_inference expects batch size 1")
     if h <= tile_size and w <= tile_size:
         return forward(img)
+
+    put = None
+    if mesh is not None:
+        from lowlight_image_enhancement_tpu.parallel.mesh import (
+            batch_sharding,
+        )
+
+        nd = mesh.devices.size
+        batch_tiles = ((batch_tiles + nd - 1) // nd) * nd
+        sharding = batch_sharding(mesh)
+        put = lambda x: jax.device_put(x, sharding)
 
     stride = max(int(tile_size * (1.0 - overlap_ratio)), 1)
     ys = _tile_starts(h, min(tile_size, h), stride)
@@ -75,7 +96,8 @@ def tiled_inference(
             tiles = np.concatenate(
                 [tiles, np.zeros((pad,) + tiles.shape[1:], tiles.dtype)]
             )
-        preds = np.asarray(forward(jnp.asarray(tiles)))
+        tiles = jnp.asarray(tiles) if put is None else put(jnp.asarray(tiles))
+        preds = np.asarray(forward(tiles))
         for j, (y, x) in enumerate(chunk):
             out[0, y : y + th, x : x + tw, :] += preds[j]
             cnt[0, y : y + th, x : x + tw, :] += 1.0

@@ -127,3 +127,22 @@ class TestServingEdges:
                               overlap_ratio=0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x),
                                    atol=1e-6)
+
+    def test_mesh_sharded_tiling_matches_single_device(self, rng):
+        """Tile batches sharded over the 8-device mesh produce the same
+        stitched output as the unsharded path (spatial scale-out:
+        independent tiles, no collectives)."""
+        from lowlight_image_enhancement_tpu.parallel import create_mesh
+        from lowlight_image_enhancement_tpu.training.validation import (
+            tiled_inference,
+        )
+
+        mesh = create_mesh(8)
+        fwd = jax.jit(lambda z: jnp.sqrt(jnp.clip(z, 0, 1)) * 0.9 + 0.01)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 100, 140, 3)),
+                        dtype=jnp.float32)
+        ref = tiled_inference(fwd, x, tile_size=32, overlap_ratio=0.5)
+        out = tiled_inference(fwd, x, tile_size=32, overlap_ratio=0.5,
+                              batch_tiles=8, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)

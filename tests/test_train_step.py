@@ -117,6 +117,43 @@ class TestTrainStep:
         out = ev(state.params, make_batch(rng)["lq"])
         assert out.shape == (2, 32, 32, 3)
 
+    def test_grad_accumulation(self, rng):
+        """accum_steps=k on the same micro-batch k times == one plain step
+        on that batch (mean of k identical grads is the grad); params must
+        not move before the k-th micro-step."""
+        from lowlight_image_enhancement_tpu.models import NAFNet
+        from lowlight_image_enhancement_tpu.ops.psf import (
+            create_crosstalk_psf,
+        )
+
+        net = NAFNet(img_channel=3, width=8, middle_blk_num=1,
+                     enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+        loss = HybridLossPlus(
+            use_perc=False, use_deltaE=False, use_ssim=False,
+            physics_psf_module=create_crosstalk_psf("mono"), w_phys=0.1,
+        )
+        batch = make_batch(rng)
+        results = {}
+        for k in (1, 2):
+            tx = make_optimizer(1e-3, accum_steps=k)
+            state = create_train_state(net, tx, jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 32, 32, 3)), loss=loss)
+            step = make_train_step(net, loss, tx, donate=False)
+            p0 = jax.tree_util.tree_map(np.asarray, state.params)
+            for i in range(k):
+                state, logs = step(state, batch)
+                if i < k - 1:  # pending micro-steps: zero update
+                    for a, b in zip(
+                        jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(p0),
+                    ):
+                        np.testing.assert_array_equal(np.asarray(a), b)
+            results[k] = state.params
+        for a, b in zip(jax.tree_util.tree_leaves(results[1]),
+                        jax.tree_util.tree_leaves(results[2])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+
 
 @pytest.mark.slow
 class TestDataParallel:
