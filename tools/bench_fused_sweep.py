@@ -96,7 +96,7 @@ def time_step(fused_blocks, runs=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--thresholds", nargs="*", type=str,
-                    default=["auto", "128", "256", "0"])
+                    default=["auto", "256", "512", "0"])
     ap.add_argument("--vmem", nargs="*", type=int, default=None,
                     help="sweep LLIE_NAFBLOCK_VMEM_MB instead (re-exec)")
     ap.add_argument("--runs", type=int, default=20)

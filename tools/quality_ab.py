@@ -194,7 +194,6 @@ def main():
         make_synthetic_sid(data_root, n_train=args.n_train,
                            size=args.size)
 
-    workdir = tempfile.mkdtemp(prefix="quality_ab_")
     results = {"protocol": {
         "steps": args.steps, "batch": args.batch, "crop": args.crop,
         "data": f"make_synthetic_sid(n_train={args.n_train}, "
@@ -203,6 +202,31 @@ def main():
                   "hybrid L1+deltaE00+phys (reference "
                   "configs/colab/sid_newbp_mono.yml:65-96)",
     }, "archs": {}}
+    if len(args.archs) > 1:
+        # One architecture per process: the hosted TPU tunnel leaks one
+        # host staging copy per host->device transfer (~batch_bytes/step,
+        # see BASELINE.md "Host-environment caveat"), so a single process
+        # running several 5k-step trainings OOMs the host.
+        import subprocess
+
+        for name in args.archs:
+            sub_out = f"{args.out}.{name}.json"
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--steps", str(args.steps), "--batch", str(args.batch),
+                   "--crop", str(args.crop), "--archs", name,
+                   "--data-root", data_root, "--size", str(args.size),
+                   "--n-train", str(args.n_train), "--out", sub_out]
+            rc = subprocess.run(cmd).returncode
+            if rc != 0:
+                raise SystemExit(f"{name} sub-run failed rc={rc}")
+            with open(sub_out) as f:
+                results["archs"][name] = json.load(f)["archs"][name]
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results))
+        return
+
+    workdir = tempfile.mkdtemp(prefix="quality_ab_")
     for name in args.archs:
         opt = build_opt(name, ARCHS[name], data_root, workdir,
                         args.steps, args.batch, args.crop)
