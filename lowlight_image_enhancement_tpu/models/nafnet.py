@@ -356,10 +356,12 @@ class NAFNet(nn.Module):
     (``ops/pallas/nafblock.py``): channels-in-sublanes layout, whole block
     in 2 fwd + 2 bwd kernels. ``True`` fuses every eligible stack; an int
     fuses only stacks with ``channels <= fused_blocks``; ``"auto"``
-    (default) fuses ``channels <= 128`` on TPU and nothing elsewhere —
-    measured on v5e at SID 512^2 b2 bf16 full-hybrid: 136.7 -> 47.6
-    ms/step (XLA's native layout is competitive once channels fill the
-    128 lanes, so fusing wider stacks adds nothing). Falls back per-stack
+    (default) fuses ``channels <= 256`` on TPU and nothing elsewhere —
+    measured on v5e at SID 512^2 b2 bf16 full-hybrid (tools/
+    bench_fused_sweep.py): C<=128 43.2 ms/step, C<=256 **39.7** (winner),
+    C<=512 40.5 — even with the 128 lanes full, fusing the C=256 stacks
+    still saves HBM round trips, but the C=512 bottleneck loses to XLA's
+    native layout. Falls back per-stack
     when the shape is untileable, dropout is active, or TLC is requested.
     Param tree is unchanged — checkpoints interoperate, and the fused
     path composes with sharded jit (DP mesh) and ``scan_blocks``."""
@@ -377,7 +379,7 @@ class NAFNet(nn.Module):
         if self.dropout_rate > 0.0 or self.tlc_window is not None:
             return None
         if self.fused_blocks == "auto":
-            if jax.default_backend() != "tpu" or chan > 128:
+            if jax.default_backend() != "tpu" or chan > 256:
                 return None
         elif self.fused_blocks is not True and chan > int(self.fused_blocks):
             return None

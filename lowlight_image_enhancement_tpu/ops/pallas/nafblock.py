@@ -66,9 +66,12 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
     * 1024 * 1024)
 
 # Upper bound on elements of the widest (2C-channel) fp32 intermediate per
-# row tile — keeps per-kernel VMEM usage around a few MB.
+# row tile. Swept on v5e at the flagship shape set (tools/bench_fused_sweep
+# .py): 640k -> 41.9 ms/step, 1.31M -> 39.7 (winner), 2.62M -> 41.3 and
+# needs a 64 MB VMEM limit; larger tiles amortize halo DMA until the
+# working set spills the scoped-VMEM budget.
 _TILE_ELEM_BUDGET = int(os.environ.get("LLIE_NAFBLOCK_TILE_BUDGET",
-                                       str(640 * 1024)))
+                                       str(1280 * 1024)))
 
 
 def _interpret() -> bool:
