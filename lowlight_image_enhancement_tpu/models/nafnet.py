@@ -73,6 +73,143 @@ def pixel_shuffle(x: Array, r: int = 2) -> Array:
     return x.reshape(n, h * r, w * r, c)
 
 
+# ---------------------------------------------------------------------------
+# Flat-trunk ops: the whole U-shape in the fused kernels' [N, C, H*W]
+# layout (channels in sublanes, flat spatial in lanes). Motivation
+# (xprof, 512^2 b2 bf16 step): the NHWC intro/ending convs cost ~4.3 ms
+# (C=3 pads to 128 lanes), and the per-stack NHWC<->[C,S] transposes +
+# down/up convs another ~8 ms — pure layout glue around the Pallas
+# blocks. These ops re-express conv/resample as shift + MXU matmul in
+# the flat layout, with param names/shapes identical to the nn.Conv
+# modules they replace (checkpoints interoperate).
+# ---------------------------------------------------------------------------
+
+
+def to_flat(x: Array) -> Array:
+    """NHWC -> [N, C, H*W]."""
+    n, h, w, c = x.shape
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h * w)
+
+
+def to_nhwc(x: Array, h: int, w: int) -> Array:
+    """[N, C, H*W] -> NHWC."""
+    n, c, _ = x.shape
+    return jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
+
+
+def _flat_shift(x: Array, dr: int, dc: int, h: int, w: int) -> Array:
+    """``out[.., r*w+col] = x[.., (r+dr)*w + (col+dc)]`` with zero fill
+    outside the image (rows via the concat, columns via the mask)."""
+    n, c, s = x.shape
+    d = dr * w + dc
+    if d > 0:
+        y = jnp.concatenate(
+            [x[:, :, d:], jnp.zeros((n, c, d), x.dtype)], axis=2)
+    elif d < 0:
+        y = jnp.concatenate(
+            [jnp.zeros((n, c, -d), x.dtype), x[:, :, :d]], axis=2)
+    else:
+        y = x
+    if dc != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2) % w
+        valid = (col <= w - 2) if dc > 0 else (col >= 1)
+        y = jnp.where(valid, y, jnp.zeros((), x.dtype))
+    return y
+
+
+class _FlatConv3x3(nn.Module):
+    """Full 3x3 conv (SAME, zero pad) on the flat layout.
+
+    Params match ``nn.Conv(features, (3,3), padding='SAME')`` — HWIO
+    ``kernel`` [3,3,Cin,Cout] + ``bias`` [Cout]. Two lowerings, both one
+    MXU matmul + 9 cheap shifted adds, picked by which side is narrow:
+
+    - gather (Cin <= Cout, e.g. intro 3->32): stack the 9 shifted input
+      taps to [9*Cin, S], then ``[Cout, 9*Cin] @ [9*Cin, S]``.
+    - scatter (Cin > Cout, e.g. ending 32->3): matmul first to per-tap
+      outputs [9*Cout, S], then shift-sum the taps — avoids a [9*Cin, S]
+      intermediate when Cin is wide.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, hw) -> Array:
+        h, w = int(hw[0]), int(hw[1])
+        n, cin, s = x.shape
+        cout = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        kd = k.astype(self.dtype)
+        taps = [(kh - 1, kw_ - 1) for kh in range(3) for kw_ in range(3)]
+        if cin <= cout:
+            stacked = jnp.concatenate(
+                [_flat_shift(x, dr, dc, h, w) for (dr, dc) in taps], axis=1)
+            kmat = kd.reshape(9 * cin, cout)  # (kh, kw, cin) major->minor
+            out = jnp.einsum("ko,nks->nos", kmat, stacked)
+        else:
+            kt = kd.transpose(0, 1, 3, 2).reshape(9 * cout, cin)
+            u = jnp.einsum("kc,ncs->nks", kt, x)  # per-tap outputs
+            out = None
+            for t, (dr, dc) in enumerate(taps):
+                term = _flat_shift(u[:, t * cout : (t + 1) * cout], dr, dc,
+                                   h, w)
+                out = term if out is None else out + term
+        return out.astype(self.dtype) + b.astype(self.dtype)[None, :, None]
+
+
+class _FlatDown(nn.Module):
+    """Strided 2x2 conv (the NAFNet down) on the flat layout.
+
+    Params match ``nn.Conv(2C, (2,2), strides=2, padding='VALID')`` —
+    ``kernel`` [2,2,C,2C] + ``bias`` [2C]. Lowering: phase-split the even
+    grid into the 4 taps -> [N, 4C, S/4], one MXU matmul [2C, 4C]."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, hw) -> Array:
+        h, w = int(hw[0]), int(hw[1])
+        n, c, s = x.shape
+        cout = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, c, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        xr = x.reshape(n, c, h // 2, 2, w // 2, 2)
+        # stacked index (kh, kw, c) major->minor to match HWIO reshape
+        stacked = jnp.transpose(xr, (0, 3, 5, 1, 2, 4)).reshape(
+            n, 4 * c, (h // 2) * (w // 2))
+        kmat = k.astype(self.dtype).reshape(4 * c, cout)
+        out = jnp.einsum("ko,nks->nos", kmat, stacked.astype(self.dtype))
+        return out.astype(self.dtype) + b.astype(self.dtype)[None, :, None]
+
+
+class _FlatUp(nn.Module):
+    """1x1 conv (bias-free) + PixelShuffle(2) (the NAFNet up) on the flat
+    layout. Params match ``nn.Conv(2C, (1,1), use_bias=False)`` —
+    ``kernel`` [1,1,C,2C]. Lowering: matmul then channel->space
+    interleave with torch PixelShuffle ordering ``(c, r1, r2)``."""
+
+    features: int  # conv output channels (2C); shuffled out = features//4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, hw) -> Array:
+        h, w = int(hw[0]), int(hw[1])
+        n, c, s = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, c, self.features), jnp.float32)
+        kmat = k[0, 0].astype(self.dtype)  # [C, 2C]
+        y = jnp.einsum("co,ncs->nos", kmat, x)  # [N, 2C, S]
+        cq = self.features // 4
+        yr = y.reshape(n, cq, 2, 2, h, w)
+        out = jnp.transpose(yr, (0, 1, 4, 2, 5, 3)).reshape(n, cq, 4 * s)
+        return out.astype(self.dtype)
+
+
 class _DepthwiseShiftAdd(nn.Module):
     """3x3 depthwise conv lowered as 9 shift-multiply-adds.
 
@@ -366,9 +503,34 @@ class NAFNet(nn.Module):
     Param tree is unchanged — checkpoints interoperate, and the fused
     path composes with sharded jit (DP mesh) and ``scan_blocks``."""
 
+    flat_trunk: Any = "auto"
+    """Run the WHOLE U-shape in the fused kernels' flat ``[N, C, H*W]``
+    layout: intro/ending become shift+MXU-matmul ops (``_FlatConv3x3``),
+    down/up become phase-split/interleave matmuls, and the per-stack
+    NHWC↔flat transposes disappear — xprof showed that glue at ~12 ms of
+    the 40 ms step (NHWC C=3 convs pad 3→128 lanes). ``"auto"`` enables
+    it exactly when the fused-block path is active (TPU, fused_blocks,
+    no dropout/TLC); ``True`` forces it (any backend — used by the
+    CPU parity tests); ``False`` keeps the reference NHWC graph. Param
+    tree is identical in both modes."""
+
     @property
     def padder_size(self) -> int:
         return 2 ** len(self.enc_blk_nums)
+
+    def _flat_active(self) -> bool:
+        if not self.flat_trunk:
+            return False
+        if self.dropout_rate > 0.0 or self.tlc_window is not None:
+            return False
+        if self.flat_trunk == "auto":
+            import os
+
+            if os.environ.get("LLIE_DISABLE_PALLAS"):
+                return False
+            return (jax.default_backend() == "tpu"
+                    and bool(self.fused_blocks))
+        return True
 
     def _fused_hw(self, chan, h, w):
         """(H, W) when this stack should use the fused kernels, else None."""
@@ -391,28 +553,25 @@ class NAFNet(nn.Module):
                                 self.ffn_expand)
         return None if cfg is None else (int(h), int(w))
 
-    def _block_stack(self, x, num, chan, name, deterministic):
-        """Run ``num`` NAFBlocks — unrolled or as a params-stacked scan."""
-        fused_hw = self._fused_hw(chan, x.shape[1], x.shape[2])
-        if fused_hw is not None:
-            n_, h_, w_, c_ = x.shape
-            xt = jnp.transpose(x.astype(self.dtype), (0, 3, 1, 2))
-            xt = xt.reshape(n_, c_, h_ * w_)
-            if self.scan_blocks:
-                xt = _ScanNAFBlocks(
-                    features=chan, num=num, dw_expand=self.dw_expand,
-                    ffn_expand=self.ffn_expand, dropout_rate=0.0,
-                    dtype=self.dtype, tlc_window=None,
-                    deterministic=deterministic, fused_hw=fused_hw,
-                    name=f"{name}_blks",
-                )(xt)
-            else:
-                for bi in range(num):
-                    xt = FusedNAFBlock(
-                        chan, self.dw_expand, self.ffn_expand,
-                        self.dtype, fused_hw, name=f"{name}_blk{bi}",
-                    )(xt)
-            return jnp.transpose(xt.reshape(n_, c_, h_, w_), (0, 2, 3, 1))
+    def _fused_stack(self, xt, num, chan, name, fused_hw, deterministic):
+        """``num`` FusedNAFBlocks on flat ``[N, C, S]`` input."""
+        if self.scan_blocks:
+            return _ScanNAFBlocks(
+                features=chan, num=num, dw_expand=self.dw_expand,
+                ffn_expand=self.ffn_expand, dropout_rate=0.0,
+                dtype=self.dtype, tlc_window=None,
+                deterministic=deterministic, fused_hw=fused_hw,
+                name=f"{name}_blks",
+            )(xt)
+        for bi in range(num):
+            xt = FusedNAFBlock(
+                chan, self.dw_expand, self.ffn_expand,
+                self.dtype, fused_hw, name=f"{name}_blk{bi}",
+            )(xt)
+        return xt
+
+    def _unfused_stack(self, x, num, chan, name, deterministic):
+        """``num`` NAFBlocks on NHWC input (unrolled or scanned)."""
         block_cls = (nn.remat(NAFBlock, static_argnums=())
                      if self.remat_blocks else NAFBlock)
         if not self.scan_blocks:
@@ -437,10 +596,35 @@ class NAFNet(nn.Module):
             name=f"{name}_blks",
         )(x)
 
+    def _block_stack(self, x, num, chan, name, deterministic,
+                     flat_hw=None):
+        """Run ``num`` NAFBlocks. ``flat_hw=None``: NHWC in/out (fused
+        stacks transpose to flat internally). ``flat_hw=(H, W)``: flat
+        ``[N, C, S]`` in/out (unfused fallbacks transpose to NHWC
+        locally)."""
+        if flat_hw is not None:
+            fused_hw = self._fused_hw(chan, flat_hw[0], flat_hw[1])
+            if fused_hw is not None:
+                return self._fused_stack(x, num, chan, name, fused_hw,
+                                         deterministic)
+            xh = to_nhwc(x, flat_hw[0], flat_hw[1])
+            xh = self._unfused_stack(xh, num, chan, name, deterministic)
+            return to_flat(xh)
+        fused_hw = self._fused_hw(chan, x.shape[1], x.shape[2])
+        if fused_hw is not None:
+            n_, h_, w_, c_ = x.shape
+            xt = to_flat(x.astype(self.dtype))
+            xt = self._fused_stack(xt, num, chan, name, fused_hw,
+                                   deterministic)
+            return to_nhwc(xt, h_, w_)
+        return self._unfused_stack(x, num, chan, name, deterministic)
+
     @nn.compact
     def __call__(self, inp: Array, *, deterministic: bool = True) -> Array:
         n, h, w, c_in = inp.shape
         inp = self._pad_to_multiple(inp)  # padded input is also the residual
+        if self._flat_active():
+            return self._call_flat(inp, h, w, deterministic)
         x = inp
 
         conv = lambda feat, k, name, use_bias=True, strides=1: nn.Conv(
@@ -477,6 +661,45 @@ class NAFNet(nn.Module):
         x = conv(self.img_channel, 3, "ending")(x)
         x = x + inp.astype(self.dtype)
         return x[:, :h, :w, :].astype(jnp.float32)
+
+    def _call_flat(self, inp: Array, h0: int, w0: int,
+                   deterministic: bool) -> Array:
+        """The flat-trunk forward (see ``flat_trunk``). Same graph as the
+        NHWC path, same params — only the layout and the conv lowerings
+        differ; parity is tested in ``tests/test_flat_trunk.py``."""
+        n, hp, wp, _ = inp.shape
+        xf = to_flat(inp.astype(self.dtype))  # [N, C_in, S]
+        x = _FlatConv3x3(self.width, self.dtype, name="intro")(xf, (hp, wp))
+
+        skips = []
+        chan, hh, ww = self.width, hp, wp
+        for si, num in enumerate(self.enc_blk_nums):
+            x = self._block_stack(x, num, chan, f"enc{si}", deterministic,
+                                  flat_hw=(hh, ww))
+            skips.append(x)
+            x = _FlatDown(2 * chan, self.dtype, name=f"down{si}")(
+                x, (hh, ww))
+            chan *= 2
+            hh //= 2
+            ww //= 2
+
+        x = self._block_stack(x, self.middle_blk_num, chan, "mid",
+                              deterministic, flat_hw=(hh, ww))
+
+        for si, num in enumerate(self.dec_blk_nums):
+            x = _FlatUp(2 * chan, self.dtype, name=f"up{si}")(x, (hh, ww))
+            chan //= 2
+            hh *= 2
+            ww *= 2
+            x = x + skips[-(si + 1)]
+            x = self._block_stack(x, num, chan, f"dec{si}", deterministic,
+                                  flat_hw=(hh, ww))
+
+        x = _FlatConv3x3(self.img_channel, self.dtype, name="ending")(
+            x, (hh, ww))
+        x = x + xf
+        out = to_nhwc(x, hp, wp)
+        return out[:, :h0, :w0, :].astype(jnp.float32)
 
     def _pad_to_multiple(self, x: Array) -> Array:
         m = self.padder_size
