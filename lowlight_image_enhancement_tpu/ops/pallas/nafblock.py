@@ -131,7 +131,8 @@ def make_block_config(h: int, w: int, c: int, dw_expand: int,
         # the gate split in the kernels assumes dw_expand == 2 (the only
         # value the reference ever uses, NAFNet_arch.py:30)
         return None
-    if h * w * dw_ch <= budget and c <= 256:
+    max_c = int(os.environ.get("LLIE_NAFBLOCK_WHOLE_IMAGE_MAX_C", "256"))
+    if h * w * dw_ch <= budget and c <= max_c:
         # whole image per grid step: no halo machinery at all
         return BlockConfig(h, w, h, c, dw_ch, ffn_ch, 0, 0, 0, float(eps),
                            _interpret())
@@ -840,8 +841,25 @@ def _vjp_fwd(x, p, cfg):
     return out, (x_, g, m, att, p)
 
 
+def _bwd_config(cfg: BlockConfig) -> BlockConfig:
+    """Optionally re-tile the backward kernels (P1/P2 hold more live
+    VMEM than A/B, so their sweet-spot row tile can differ). Set
+    ``LLIE_NAFBLOCK_TILE_BUDGET_BWD`` to re-derive ``th`` for the bwd
+    grid from a separate element budget; default = same tiling."""
+    bwd_budget = os.environ.get("LLIE_NAFBLOCK_TILE_BUDGET_BWD")
+    if not bwd_budget or cfg.ha == 0:
+        return cfg
+    ar = 128 // _gcd(cfg.w, 128)
+    th = choose_row_tile(cfg.h, cfg.w, cfg.dw_ch, cfg.hx, ar,
+                         int(bwd_budget))
+    if th is None or th == cfg.th:
+        return cfg
+    return cfg._replace(th=th)
+
+
 def _vjp_bwd(cfg: BlockConfig, res, dout):
     x, g, m, att, p = res
+    cfg = _bwd_config(cfg)
     cdt = _compute_dtype(x)
     (dz, dgl, da_part, dW3, db3, dw2n, db2n, dW4, db4, dW5, db5,
      dbeta, dgamma) = _call_p1(x, g, dout, att, p, cfg, cdt)
