@@ -179,9 +179,11 @@ class _FlatDown(nn.Module):
                        (2, 2, c, cout), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
         xr = x.reshape(n, c, h // 2, 2, w // 2, 2)
-        # stacked index (kh, kw, c) major->minor to match HWIO reshape
-        stacked = jnp.transpose(xr, (0, 3, 5, 1, 2, 4)).reshape(
-            n, 4 * c, (h // 2) * (w // 2))
+        # stacked index (kh, kw, c) major->minor to match HWIO reshape;
+        # lax.reshape with `dimensions` = transpose+reshape in ONE copy
+        stacked = jax.lax.reshape(
+            xr, (n, 4 * c, (h // 2) * (w // 2)),
+            dimensions=(0, 3, 5, 1, 2, 4))
         kmat = k.astype(self.dtype).reshape(4 * c, cout)
         out = jnp.einsum("ko,nks->nos", kmat, stacked.astype(self.dtype))
         return out.astype(self.dtype) + b.astype(self.dtype)[None, :, None]
@@ -206,7 +208,8 @@ class _FlatUp(nn.Module):
         y = jnp.einsum("co,ncs->nos", kmat, x)  # [N, 2C, S]
         cq = self.features // 4
         yr = y.reshape(n, cq, 2, 2, h, w)
-        out = jnp.transpose(yr, (0, 1, 4, 2, 5, 3)).reshape(n, cq, 4 * s)
+        out = jax.lax.reshape(yr, (n, cq, 4 * s),
+                              dimensions=(0, 1, 4, 2, 5, 3))
         return out.astype(self.dtype)
 
 

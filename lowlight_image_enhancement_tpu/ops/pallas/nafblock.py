@@ -798,6 +798,10 @@ def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
             pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((6,)),
         ],
+        # dz (input 1) is consumed only here and dx matches its
+        # shape/dtype: reuse the buffer instead of allocating a fresh
+        # [N, C, S] output.
+        input_output_aliases={1: 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=cfg.interpret,
     )(x, dz, dgl, dgc, p["w1n"], p["b1n"], p["W1"], p["b1"], p["kdw"])
