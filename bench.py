@@ -93,12 +93,19 @@ def main() -> None:
         state, logs = step(state, batch)
     jax.block_until_ready(logs["l_total"])
 
+    # Two independent measurement rounds; report the SLOWER one. The
+    # hosted tunnel occasionally mis-serializes a burst (observed once:
+    # 7.5 ms "steps" for a 31 ms graph) — a too-fast round is an artifact,
+    # a too-slow one is just noise, so max(time) is the honest pick.
     runs = 20
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        state, logs = step(state, batch)
-    jax.block_until_ready(logs["l_total"])
-    train_s = (time.perf_counter() - t0) / runs
+    round_s = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            state, logs = step(state, batch)
+        jax.block_until_ready(logs["l_total"])
+        round_s.append((time.perf_counter() - t0) / runs)
+    train_s = max(round_s)
     steps_per_sec = 1.0 / train_s
 
     # --- inference latency: 1x256x256x3, reference protocol (20 warmup +
@@ -116,11 +123,14 @@ def main() -> None:
     for _ in range(20):
         y = fwd(variables["params"], y)
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(100):
-        y = fwd(variables["params"], y)
-    jax.block_until_ready(y)
-    lat = {"ms_per_image": (time.perf_counter() - t0) * 1e3 / 100}
+    lat_rounds = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(100):
+            y = fwd(variables["params"], y)
+        jax.block_until_ready(y)
+        lat_rounds.append((time.perf_counter() - t0) * 1e3 / 100)
+    lat = {"ms_per_image": max(lat_rounds)}
 
     # --- optional: the space-to-depth TPU-layout variant (same protocol,
     # capacity-matched params; see BASELINE.md) ---
