@@ -166,6 +166,50 @@ def main() -> None:
     except Exception:
         pass  # the headline metric must never fail on the variant
 
+    # --- optional: data-parallel scaling over all visible chips. Only
+    # meaningful on real multi-chip hosts; on the single-chip tunnel this
+    # block is skipped. Global batch = 2 x n_devices (weak scaling).
+    dp = None
+    try:
+        ndev = len(jax.devices())
+        if ndev > 1:
+            from lowlight_image_enhancement_tpu.parallel import (
+                create_mesh,
+                shard_batch,
+            )
+            from lowlight_image_enhancement_tpu.training import (
+                put_replicated,
+            )
+
+            mesh = create_mesh(ndev)
+            big = {
+                k: jnp.concatenate([v] * ndev, axis=0)
+                for k, v in batch.items()
+            }
+            dp_state = create_train_state(
+                net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                loss=loss,
+            )
+            dp_state = put_replicated(dp_state, mesh)
+            sbatch = shard_batch(big, mesh)
+            dp_step = make_train_step(net, loss, tx, donate=True)
+            for _ in range(3):
+                dp_state, dp_logs = dp_step(dp_state, sbatch)
+            jax.block_until_ready(dp_logs["l_total"])
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                dp_state, dp_logs = dp_step(dp_state, sbatch)
+            jax.block_until_ready(dp_logs["l_total"])
+            dp_sps = runs / (time.perf_counter() - t0)
+            dp = {
+                "n_devices": ndev,
+                "global_batch": 2 * ndev,
+                "steps_per_sec": round(dp_sps, 4),
+                "images_per_sec": round(dp_sps * 2 * ndev, 2),
+            }
+    except Exception:
+        pass
+
     result = {
         "metric": "sid512_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
@@ -179,6 +223,7 @@ def main() -> None:
             "nafnet_tpu_s2d_steps_per_sec": (
                 round(s2d_steps_per_sec, 4) if s2d_steps_per_sec else None
             ),
+            "data_parallel": dp,
             "device": str(jax.devices()[0]),
             "baseline_note": (
                 "reference publishes no numbers; vs_baseline uses the "

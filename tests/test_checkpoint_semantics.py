@@ -101,3 +101,55 @@ class TestPSFStateImmutability:
         for path, _ in jax.tree_util.tree_flatten_with_path(
                 state.params)[0]:
             assert "psf" not in "/".join(str(p.key) for p in path).lower()
+
+
+class TestAccumulationStateRoundtrip:
+    def test_multisteps_state_survives_save_restore(self, tmp_path):
+        """Gradient-accumulation (optax MultiSteps) optimizer state —
+        mini-step counter + gradient accumulator — must roundtrip through
+        the orbax training-state scheme so a resumed run continues the
+        partial accumulation window rather than silently dropping it."""
+        import numpy as np
+
+        from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+        from lowlight_image_enhancement_tpu.models import NAFNet
+        from lowlight_image_enhancement_tpu.training import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        net = NAFNet(img_channel=3, width=8, middle_blk_num=1,
+                     enc_blk_nums=(1,), dec_blk_nums=(1,))
+        loss = HybridLossPlus(use_perc=False, use_deltaE=False,
+                              use_ssim=False, use_phys=False)
+        tx = make_optimizer(1e-3, accum_steps=2)
+        state = create_train_state(net, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 16, 16, 3)), loss=loss)
+        step = make_train_step(net, loss, tx, donate=False)
+        rng = np.random.default_rng(0)
+        batch = {
+            "lq": jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)),
+                              jnp.float32),
+            "gt": jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)),
+                              jnp.float32),
+        }
+        state, _ = step(state, batch)  # mid-window: 1 pending micro-grad
+
+        path = ckpt.save_training_state(str(tmp_path), state)
+        template = create_train_state(net, tx, jax.random.PRNGKey(1),
+                                      jnp.zeros((1, 16, 16, 3)), loss=loss)
+        restored = ckpt.restore_training_state(path, template)
+
+        a = jax.tree_util.tree_leaves(state.opt_state)
+        b = jax.tree_util.tree_leaves(restored.opt_state)
+        assert len(a) == len(b)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+        # and the restored state continues identically
+        s1, _ = step(state, batch)
+        s2, _ = step(restored, batch)
+        for la, lb in zip(jax.tree_util.tree_leaves(s1.params),
+                          jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
