@@ -103,3 +103,71 @@ class TestPsfProperties:
                              depthwise_conv(jnp.asarray(y),
                                             k[:, ::-1, ::-1])))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-3, atol=1e-4)
+
+
+class TestFlatOpProperties:
+    """Flat-trunk conv/resample lowerings vs their stock NHWC
+    counterparts over randomized shapes and channel widths (the fixture
+    tests in test_flat_trunk.py pin a few shapes; these sweep)."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(2, 6).map(lambda k: 2 * k),   # h even
+        st.integers(2, 8).map(lambda k: 2 * k),   # w even
+        st.sampled_from([1, 3, 4, 8]),
+        st.sampled_from([3, 4, 8, 16]),
+        st.integers(0, 2 ** 31 - 1),
+    )
+    def test_flat_conv3x3_any_shape(self, h, w, cin, cout, seed):
+        import flax.linen as nn
+        import jax
+
+        from lowlight_image_enhancement_tpu.models.nafnet import (
+            _FlatConv3x3,
+            to_flat,
+        )
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(1, h, w, cin)), jnp.float32)
+        ref = nn.Conv(cout, (3, 3), padding="SAME",
+                      param_dtype=jnp.float32)
+        variables = ref.init(jax.random.PRNGKey(seed % 997), x)
+        got = _FlatConv3x3(cout).apply(variables, to_flat(x), (h, w))
+        want = to_flat(ref.apply(variables, x))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.integers(2, 6).map(lambda k: 2 * k),
+        st.integers(2, 8).map(lambda k: 2 * k),
+        st.sampled_from([4, 8, 16]),
+        st.integers(0, 2 ** 31 - 1),
+    )
+    def test_flat_down_up_any_shape(self, h, w, c, seed):
+        import flax.linen as nn
+        import jax
+
+        from lowlight_image_enhancement_tpu.models.nafnet import (
+            _FlatDown,
+            _FlatUp,
+            pixel_shuffle,
+            to_flat,
+        )
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(1, h, w, c)), jnp.float32)
+        down = nn.Conv(2 * c, (2, 2), strides=(2, 2), padding="VALID",
+                       param_dtype=jnp.float32)
+        dv = down.init(jax.random.PRNGKey(seed % 991), x)
+        np.testing.assert_allclose(
+            np.asarray(_FlatDown(2 * c).apply(dv, to_flat(x), (h, w))),
+            np.asarray(to_flat(down.apply(dv, x))), atol=3e-5)
+
+        up = nn.Conv(2 * c, (1, 1), use_bias=False,
+                     param_dtype=jnp.float32)
+        uv = up.init(jax.random.PRNGKey(seed % 983), x)
+        np.testing.assert_allclose(
+            np.asarray(_FlatUp(2 * c).apply(uv, to_flat(x), (h, w))),
+            np.asarray(to_flat(pixel_shuffle(up.apply(uv, x), 2))),
+            atol=3e-5)
