@@ -24,6 +24,8 @@ import numpy as np
 
 
 def timeit(fn, *args, runs=20, warmup=3, **kw):
+    """Unchained repeats — independent dispatches OVERLAP on the hosted
+    tunnel (farm), so absolute values are inflated; see chained_*."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kw)
@@ -32,6 +34,34 @@ def timeit(fn, *args, runs=20, warmup=3, **kw):
     for _ in range(runs):
         out = fn(*args, **kw)
     jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / runs * 1e3
+
+
+def chained_step(step, state, batch, runs=20, warmup=3):
+    """True serial ms/step: each step consumes the previous TrainState, so
+    the tunnel cannot overlap dispatches (BASELINE.md methodology)."""
+    for _ in range(warmup):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["l_total"])
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["l_total"])
+    return (time.perf_counter() - t0) / runs * 1e3
+
+
+def chained_fwd(fn, params, x, runs=20, warmup=3):
+    """Serial forward latency: output feeds the next input (shapes must
+    match; model output is image-shaped, so this chains)."""
+    y = x
+    for _ in range(warmup):
+        y = fn(params, y)
+    jax.block_until_ready(y)
+    y = y.astype(x.dtype)
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        y = fn(params, y)
+    jax.block_until_ready(y)
     return (time.perf_counter() - t0) / runs * 1e3
 
 
@@ -73,15 +103,15 @@ def main() -> None:
 
     if want("fwd"):
         fwd = jax.jit(lambda p, xx: net.apply({"params": p}, xx))
-        print(f"forward b{n} {s}^2:            "
-              f"{timeit(fwd, params, x):8.2f} ms", flush=True)
+        print(f"forward b{n} {s}^2 (chained):  "
+              f"{chained_fwd(fwd, params, x):8.2f} ms", flush=True)
 
     if want("gl1"):
         def l1_loss_fn(p, xx, tt):
             return jnp.mean(jnp.abs(net.apply({"params": p}, xx) - tt))
 
         g_l1 = jax.jit(jax.grad(l1_loss_fn))
-        print(f"grad(L1) fwd+bwd:            "
+        print(f"grad(L1) fwd+bwd (unchained):"
               f"{timeit(g_l1, params, x, gt):8.2f} ms", flush=True)
 
     losses = {
@@ -106,8 +136,9 @@ def main() -> None:
         state = create_train_state(net, tx, jax.random.PRNGKey(0),
                                    jnp.zeros((1, 64, 64, 3)), loss=loss)
         step = make_train_step(net, loss, tx, donate=False)
-        print(f"train_step [{name:12s}]:  "
-              f"{timeit(step, state, batch, runs=10):8.2f} ms", flush=True)
+        print(f"train_step [{name:12s}] (chained):  "
+              f"{chained_step(step, state, batch, runs=10):8.2f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
