@@ -1,10 +1,18 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: SID 512x512 training steps/sec/chip (batch 2, bf16, full NewBP
-hybrid loss incl. physics term — the reference training recipe,
-``configs/colab/sid_newbp_mono.yml:65-96``), plus inference ms/image at
-1x3x256x256 (the reference latency protocol,
+Headline: SID 512x512 training steps/sec/chip (batch 2, bf16, the FULL
+reference training recipe — L1(raw) + VGG19 perceptual + DeltaE00 +
+physics PSF term, ``configs/colab/sid_newbp_mono.yml:65-96``), plus
+inference ms/image at 1x3x256x256 (the reference latency protocol,
 ``metrics/inference_time.py:16-75``) in the ``detail`` field.
+
+The perceptual term runs the full VGG19 relu5_4 trunk with the
+deterministic random-init weights (no pretrained npz ships in this
+environment — no egress). VGG's step-time COST does not depend on weight
+values, so this measures the true full-recipe step time; quality-wise the
+random trunk changes the objective (documented in BASELINE.md). The
+no-perceptual step time is reported alongside in ``detail`` for
+comparison with round-2 numbers.
 
 ``vs_baseline``: the reference publishes NO numbers (see BASELINE.md); the
 denominator used here is the documented ESTIMATE of the reference PyTorch
@@ -55,23 +63,13 @@ def main() -> None:
         dec_blk_nums=(2, 2, 2, 2),
     )
 
-    # --- training throughput: batch 2, 512x512, bf16, full hybrid loss ---
+    # --- training throughput: batch 2, 512x512, bf16 ---
     net = create_newbp_net(nafnet_params=nafnet_params, dtype=jnp.bfloat16)
-    loss = HybridLossPlus(
-        use_perc=False,  # VGG weights not shipped; perceptual off in bench
-        use_deltaE=True,
-        use_ssim=False,
-        physics_psf_module=create_crosstalk_psf("mono", "P2"),
-    )
     schedule = make_schedule(
         {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
         base_lr=5e-4,
     )
     tx = make_optimizer(schedule)
-    state = create_train_state(
-        net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), loss=loss
-    )
-    step = make_train_step(net, loss, tx, donate=True)
 
     rng = np.random.default_rng(0)
     n, s = 2, 512
@@ -88,25 +86,58 @@ def main() -> None:
         "expo_ratio": jnp.asarray(ratio),
     }
 
-    # warmup/compile
-    for _ in range(3):
-        state, logs = step(state, batch)
-    jax.block_until_ready(logs["l_total"])
+    import gc
 
-    # Two independent measurement rounds; report the SLOWER one. The
-    # hosted tunnel occasionally mis-serializes a burst (observed once:
-    # 7.5 ms "steps" for a 31 ms graph) — a too-fast round is an artifact,
-    # a too-slow one is just noise, so max(time) is the honest pick.
     runs = 20
-    round_s = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(runs):
+
+    def measure_train(use_perc: bool) -> float:
+        """Seconds/step for the recipe with/without the perceptual term.
+
+        Two independent measurement rounds; report the SLOWER one. The
+        hosted tunnel occasionally mis-serializes a burst (observed once:
+        7.5 ms "steps" for a 31 ms graph) — a too-fast round is an
+        artifact, a too-slow one is just noise, so max(time) is honest.
+        """
+        loss = HybridLossPlus(
+            use_perc=use_perc,
+            use_deltaE=True,
+            use_ssim=False,
+            perc_dtype=jnp.bfloat16,   # AMP recipe: VGG in autocast dtype
+            physics_psf_module=create_crosstalk_psf("mono", "P2"),
+        )
+        state = create_train_state(
+            net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            loss=loss,
+        )
+        step = make_train_step(net, loss, tx, donate=True)
+        for _ in range(3):
             state, logs = step(state, batch)
         jax.block_until_ready(logs["l_total"])
-        round_s.append((time.perf_counter() - t0) / runs)
-    train_s = max(round_s)
+        round_s = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                state, logs = step(state, batch)
+            jax.block_until_ready(logs["l_total"])
+            round_s.append((time.perf_counter() - t0) / runs)
+        del state, step, logs, loss
+        gc.collect()
+        return max(round_s)
+
+    # Headline: the FULL reference recipe (perceptual term included,
+    # random-init VGG trunk — same FLOPs as pretrained). Measured first so
+    # its executable gets an unconstrained buffer assignment.
+    train_s = measure_train(use_perc=True)
     steps_per_sec = 1.0 / train_s
+    # Round-2-comparable number (recipe minus the perceptual term).
+    train_s_noperc = measure_train(use_perc=False)
+
+    loss = HybridLossPlus(
+        use_perc=False,
+        use_deltaE=True,
+        use_ssim=False,
+        physics_psf_module=create_crosstalk_psf("mono", "P2"),
+    )
 
     # --- inference latency: 1x256x256x3, reference protocol (20 warmup +
     # 100 timed). Runs are CHAINED (each input is the previous output) so
@@ -137,9 +168,7 @@ def main() -> None:
     # Free the headline model's device buffers first: leaving them resident
     # forces a memory-constrained buffer assignment for the s2d executable
     # (measured: 15 vs 53 steps/s).
-    import gc
-
-    del state, step, variables, fwd, y
+    del variables, fwd, y
     gc.collect()
     s2d_steps_per_sec = None
     try:
@@ -207,20 +236,26 @@ def main() -> None:
                 "steps_per_sec": round(dp_sps, 4),
                 "images_per_sec": round(dp_sps * 2 * ndev, 2),
             }
-    except Exception:
-        pass
+    except Exception as e:  # protect the headline metric, but surface it
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        dp = {"error": f"{type(e).__name__}: {e}"}
 
     result = {
         "metric": "sid512_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
-        "unit": "steps/s (batch 2, 512^2, bf16, hybrid loss)",
+        "unit": "steps/s (batch 2, 512^2, bf16, FULL recipe incl. "
+                "VGG19 perceptual)",
         "vs_baseline": round(
             steps_per_sec / A100_REFERENCE_STEPS_PER_SEC_ESTIMATE, 4
         ),
         "detail": {
             "train_step_ms": round(train_s * 1e3, 3),
+            "train_step_ms_no_perc": round(train_s_noperc * 1e3, 3),
+            "steps_per_sec_no_perc": round(1.0 / train_s_noperc, 4),
             "infer_ms_per_image_256": round(lat["ms_per_image"], 3),
-            "nafnet_tpu_s2d_steps_per_sec": (
+            "nafnet_tpu_s2d_steps_per_sec_no_perc": (
                 round(s2d_steps_per_sec, 4) if s2d_steps_per_sec else None
             ),
             "data_parallel": dp,

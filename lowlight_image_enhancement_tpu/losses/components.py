@@ -54,13 +54,18 @@ class PerceptualLoss:
         weights_path: Optional[str] = None,
         require_pretrained: bool = False,
         loss_weight: float = 1.0,
+        dtype=None,
     ):
         self.loss_weight = float(loss_weight)
         if criterion not in {"mse", "l1"}:
             raise ValueError("criterion must be 'mse' or 'l1'")
         self.criterion = criterion
+        # dtype: VGG conv compute dtype. Under AMP the reference runs the
+        # VGG trunk in the autocast dtype (losses.py:32-69 under
+        # enable_amp); pass jnp.bfloat16 for the TPU equivalent.
         self.module, self.variables, self.pretrained = load_vgg19_features(
-            taps=taps, weights_path=weights_path
+            taps=taps, weights_path=weights_path,
+            dtype=dtype if dtype is not None else jnp.float32,
         )
         if require_pretrained and not self.pretrained:
             raise RuntimeError(

@@ -105,6 +105,7 @@ class HybridLossPlus:
         perceptual: Optional[PerceptualLoss] = None,
         lpips_fn=None,
         require_pretrained: bool = False,
+        perc_dtype=None,
         **_ignored: Any,
     ):
         if use_phys:
@@ -121,7 +122,8 @@ class HybridLossPlus:
 
         self.perceptual = (
             (perceptual
-             or PerceptualLoss(require_pretrained=require_pretrained))
+             or PerceptualLoss(require_pretrained=require_pretrained,
+                               dtype=perc_dtype))
             if use_perc else None
         )
         self.lpips_fn = lpips_fn

@@ -118,7 +118,9 @@ class RestorationServer:
         )
 
         nd = self.mesh.devices.size if self.mesh is not None else 1
-        bt = max(8, nd)
+        # round up to a multiple of the mesh size so tiled_inference does
+        # not bump batch_tiles past the compiled batch (silent recompile)
+        bt = ((max(8, nd) + nd - 1) // nd) * nd
         fn = self._forward_fn(bt, self.max_bucket, self.max_bucket)
 
         def forward(tiles):

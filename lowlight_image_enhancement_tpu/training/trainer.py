@@ -72,6 +72,12 @@ def build_hybrid_loss(train_opt: Mapping[str, Any]) -> Optional[HybridLossPlus]:
     # random features explicitly with `pretrained: false` in hybrid_opt.
     kwargs.setdefault("require_pretrained",
                       bool(kwargs.pop("pretrained", True)))
+    if train_opt.get("enable_amp", False):
+        import jax.numpy as jnp
+
+        # reference AMP autocasts the VGG trunk (enable_amp wraps the
+        # whole loss); bf16 is the TPU equivalent
+        kwargs.setdefault("perc_dtype", jnp.bfloat16)
     if physics and kwargs.get("use_phys", True):
         mode = physics.get("mode", "mono")
         spec = physics.get("kernel_spec")

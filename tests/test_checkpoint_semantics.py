@@ -104,6 +104,7 @@ class TestPSFStateImmutability:
 
 
 class TestAccumulationStateRoundtrip:
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_multisteps_state_survives_save_restore(self, tmp_path):
         """Gradient-accumulation (optax MultiSteps) optimizer state —
         mini-step counter + gradient accumulator — must roundtrip through

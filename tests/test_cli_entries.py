@@ -126,3 +126,45 @@ class TestStereoDemo:
         ssr_cli.main()
         assert ol.exists() and orr.exists()
         assert cv2.imread(str(ol)).shape == (32, 32, 3)
+
+
+class TestFlagshipConfigStance:
+    """VERDICT r2 #4: the flagship config pair must carry an explicit,
+    documented pretrained-weights stance — ``sid_newbp_mono.yml`` hard-errors
+    without the converted VGG19 npz (message names the fix), and
+    ``sid_newbp_mono_selfcontained.yml`` starts with no external weights."""
+
+    def _build_loss(self, cfg_name, monkeypatch):
+        from lowlight_image_enhancement_tpu.training.config import parse
+        from lowlight_image_enhancement_tpu.training.trainer import (
+            build_hybrid_loss,
+        )
+
+        monkeypatch.delenv("LLIE_VGG19_NPZ", raising=False)
+        monkeypatch.setenv("SID_ROOT", "/nonexistent")  # datasets unused here
+        opt = parse(str(CONFIGS / cfg_name), is_train=True)
+        return build_hybrid_loss(opt["train"])
+
+    def test_flagship_errors_without_weights_and_names_the_fix(
+            self, monkeypatch):
+        with pytest.raises(RuntimeError) as ei:
+            self._build_loss("sid_newbp_mono.yml", monkeypatch)
+        msg = str(ei.value)
+        # the error must point at both remedies
+        assert "convert_vgg_weights" in msg or "LLIE_VGG19_NPZ" in msg
+        assert "pretrained: false" in msg
+
+    def test_selfcontained_builds_and_steps(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        loss = self._build_loss("sid_newbp_mono_selfcontained.yml",
+                                monkeypatch)
+        assert loss is not None and loss.perceptual is not None
+        assert loss.perceptual.pretrained is False
+        x = jnp.ones((1, 16, 16, 3)) * 0.5
+        total, logs = loss(
+            Bhat_raw=x, B_raw=x, A_raw=x * 0.1, expo_ratio=10.0,
+            Bhat_srgb01=x, B_srgb01=x,
+        )
+        assert bool(jax.numpy.isfinite(total))

@@ -106,6 +106,8 @@ class TestCiede2000Gold:
         )(gray)
         assert np.all(np.isfinite(np.asarray(grad_same)))
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_differentiable(self, rng):
         rgb1 = jnp.asarray(rng.uniform(0.05, 0.95, (1, 4, 4, 3)),
                            dtype=jnp.float32)

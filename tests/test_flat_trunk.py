@@ -87,6 +87,7 @@ class TestFlatOps:
 
 
 class TestFlatTrunk:
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_param_tree_identical(self):
         x = jnp.zeros((1, 16, 16, 3))
         p_ref = _net(flat_trunk=False).init(jax.random.PRNGKey(0), x)
@@ -97,6 +98,7 @@ class TestFlatTrunk:
         assert ref_shapes == flat_shapes
 
     @pytest.mark.parametrize("hw", [(16, 16), (20, 28)])
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_forward_parity_unfused(self, rng, hw):
         """flat_trunk=True with unfused stacks (NHWC fallback inside) must
         equal the plain NHWC graph — exercises the flat conv/down/up ops
@@ -111,6 +113,8 @@ class TestFlatTrunk:
             variables, x)
         np.testing.assert_allclose(np.asarray(y_flat), np.asarray(y_ref),
                                    atol=3e-5)
+
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
 
     def test_grad_parity_unfused(self, rng):
         x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)

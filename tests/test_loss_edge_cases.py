@@ -55,6 +55,8 @@ class TestEdgeCases:
         z = jnp.zeros((1, S, S, 3))
         _finite_value_and_grad(_full_loss(), _batch(z, z, z, 100.0))
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_fully_saturated(self):
         o = jnp.ones((1, S, S, 3))
         _finite_value_and_grad(_full_loss(), _batch(o, o, o, 1.0))
@@ -88,6 +90,8 @@ class TestEdgeCases:
         z = jnp.zeros((1, S, S, 3)).at[0, 5, 7, :].set(1.0)
         _finite_value_and_grad(_full_loss(), _batch(z, z, z / 10, 10.0))
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_deltae_identical_saturated_channels(self):
         """Max-chroma corners of the RGB cube (hue angle singularities)."""
         corners = jnp.asarray(
@@ -107,6 +111,8 @@ class TestEdgeCases:
         g = jax.grad(lambda x: loss(x, a))(a)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_tiny_spatial_size(self, rng):
         """16x16 crops (the debug '8x8-first' ladder uses tiny sizes);
         SSIM window must clip gracefully via the loss's window=11 on >=11
@@ -118,6 +124,8 @@ class TestEdgeCases:
             physics_psf_module=create_crosstalk_psf("mono"))
         total, logs = loss(**_batch(pred, pred, pred / 2, 2.0))
         assert np.isfinite(float(total))
+
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
 
     def test_batch_of_mixed_ratios(self, rng):
         pred = jnp.asarray(rng.uniform(0, 1, (3, S, S, 3)),

@@ -45,6 +45,8 @@ class TestLpipsWrappers:
         assert res["config"]["net"] == "alex"
         assert "pretrained" in res["config"]
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_range_mapping_invariance(self, pair):
         """[0,1] and [0,255] inputs map to the same distance."""
         a, b = pair

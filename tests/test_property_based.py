@@ -3,6 +3,7 @@ that must hold for arbitrary inputs, not just fixtures."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 from hypothesis.extra import numpy as hnp
 
@@ -118,6 +119,7 @@ class TestFlatOpProperties:
         st.sampled_from([3, 4, 8, 16]),
         st.integers(0, 2 ** 31 - 1),
     )
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_flat_conv3x3_any_shape(self, h, w, cin, cout, seed):
         import flax.linen as nn
         import jax
@@ -144,6 +146,7 @@ class TestFlatOpProperties:
         st.sampled_from([4, 8, 16]),
         st.integers(0, 2 ** 31 - 1),
     )
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_flat_down_up_any_shape(self, h, w, c, seed):
         import flax.linen as nn
         import jax

@@ -68,6 +68,8 @@ class TestServing:
         out = server.predict([big])[0]
         assert out.shape == big.shape
 
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
+
     def test_warmup_precompiles(self, served):
         net, params = served
         server = RestorationServer(net, params, bucket_step=16,

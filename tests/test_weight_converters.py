@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
 class TestVggConverterMapping:
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_idx_map_matches_flax_param_names(self):
         from convert_vgg_weights import _IDX_TO_NAME
 
@@ -50,6 +51,7 @@ class TestVggConverterMapping:
 class TestLpipsConverterMapping:
     @pytest.mark.parametrize("net,cfg_attr", [("alex", "_ALEX_MAP"),
                                               ("vgg", "_VGG_MAP")])
+    @pytest.mark.slow  # measured >=4s on 1-core host (round-3 re-tier)
     def test_trunk_maps_match_flax_names(self, net, cfg_attr):
         import convert_lpips_weights as clw
 
