@@ -485,6 +485,7 @@ def _call_a(x, p, cfg: BlockConfig, cdt):
     g, m_part = pl.pallas_call(
         functools.partial(_kernel_a, cfg=cfg, cdt=cdt),
         grid=grid,
+        name="nafblk_A",
         in_specs=[
             x_spec,
             _full_spec(p["w1n"]), _full_spec(p["b1n"]),
@@ -537,6 +538,7 @@ def _call_b(x, g, att, p, cfg: BlockConfig, cdt):
     return pl.pallas_call(
         functools.partial(_kernel_b, cfg=cfg, cdt=cdt),
         grid=grid,
+        name="nafblk_B",
         in_specs=[
             _tile_spec(c, thw), _tile_spec(c, thw), _pern_spec(c),
             _full_spec(p["W3"]), _full_spec(p["b3"]),
@@ -620,6 +622,7 @@ def _call_p1(x, g, dout, att, p, cfg: BlockConfig, cdt):
     outs = pl.pallas_call(
         functools.partial(_kernel_p1, cfg=cfg, cdt=cdt),
         grid=grid,
+        name="nafblk_P1",
         in_specs=[
             _tile_spec(c, thw), _tile_spec(c, thw), _tile_spec(c, thw),
             _pern_spec(c),
@@ -764,6 +767,7 @@ def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
     outs = pl.pallas_call(
         functools.partial(_kernel_p2, cfg=cfg, cdt=cdt),
         grid=grid,
+        name="nafblk_P2",
         in_specs=[
             (_tile_spec(c, thw) if cfg.hx == 0
              else pl.BlockSpec(memory_space=pl.ANY)),   # x
