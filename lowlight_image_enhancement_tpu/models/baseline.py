@@ -24,10 +24,13 @@ Array = jax.Array
 
 
 class ChannelAttention(nn.Module):
-    """SE-style channel attention: GAP -> 1x1 -> ReLU -> 1x1 -> sigmoid."""
+    """SE-style channel attention: GAP -> 1x1 -> ReLU -> 1x1 -> sigmoid.
+
+    Reduction default matches the reference ``Baseline_arch.py:32-40``
+    (``dw_channel // 2``, i.e. reduction 2)."""
 
     features: int
-    reduction: int = 4
+    reduction: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -66,7 +69,7 @@ class BaselineBlock(nn.Module):
         y = LayerNorm2d(c, name="norm1")(x).astype(self.dtype)
         y = conv(dw, 1, "conv1")(y)
         y = conv(dw, 3, "conv2", grouped=True)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = ChannelAttention(dw, dtype=self.dtype, name="ca")(y)
         y = conv(c, 1, "conv3")(y)
         beta = self.param("beta", nn.initializers.zeros, (c,))
@@ -74,7 +77,7 @@ class BaselineBlock(nn.Module):
 
         y = LayerNorm2d(c, name="norm2")(z).astype(self.dtype)
         y = conv(c * self.ffn_expand, 1, "conv4")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = conv(c, 1, "conv5")(y)
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return z + y * gamma.astype(self.dtype)

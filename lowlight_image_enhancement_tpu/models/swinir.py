@@ -1,12 +1,22 @@
-"""SwinIR-style windowed-attention restoration network (Flax, NHWC).
+"""SwinIR windowed-attention restoration network (Flax, NHWC).
 
-TPU-native rebuild of the reference's SwinIR baseline. The reference only
-*wraps* an external SwinIR clone (``archs/swinir_arch.py:14-70`` — not
-vendored); here the architecture is implemented natively: shifted-window
-multi-head self-attention with relative position bias, MLP blocks,
-residual Swin transformer blocks grouped into RSTBs with trailing convs,
-shallow/deep feature convs and a global residual — the standard SwinIR
-restoration topology at scale 1 (denoising/low-light layout, no upsampler).
+TPU-native rebuild of the SwinIR architecture the reference wraps
+(``archs/swinir_arch.py:14-70`` only imports the official external clone —
+not vendored there). This module implements the official restoration
+topology natively for the ``upsampler=''`` (denoising / low-light) path
+used by the reference sweep config ``configs/colab/sid_swinir_baseline.yml``:
+
+- mean/``img_range`` input normalization (RGB mean for 3-channel input),
+- ``conv_first`` shallow feature conv,
+- patch embed (flatten + optional ``patch_norm`` LayerNorm),
+- RSTB stages (shifted-window MHSA blocks + trailing 3x3 conv, residual),
+- a final LayerNorm (official ``self.norm``) before ``conv_after_body``,
+- global residuals and ``conv_last``.
+
+The config surface accepts the official kwargs (``in_chans``, ``img_size``,
+``upscale``, ``img_range``, ``resi_connection``, ``upsampler``,
+``patch_norm``, ``ape``) so the reference YAML instantiates unchanged;
+``tools/convert_torch_swinir.py`` maps official checkpoints onto this tree.
 
 TPU notes: window attention reshapes to ``[B * num_windows, ws*ws, C]`` —
 batched matmuls on the MXU with fully static shapes. Attention masks for
@@ -25,6 +35,9 @@ import numpy as np
 from lowlight_image_enhancement_tpu.utils.registry import ARCH_REGISTRY
 
 Array = jax.Array
+
+# official SwinIR input normalization for 3-channel input
+_RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
 
 def window_partition(x: Array, ws: int) -> Array:
@@ -117,7 +130,7 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int = 8
     shift: int = 0
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -147,7 +160,7 @@ class SwinBlock(nn.Module):
             self.dtype)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(y)
         return x + y
@@ -160,7 +173,7 @@ class RSTB(nn.Module):
     depth: int
     num_heads: int
     window_size: int = 8
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -181,18 +194,45 @@ class RSTB(nn.Module):
 @ARCH_REGISTRY.register(name="SwinIRRestoration")
 @ARCH_REGISTRY.register()
 class SwinIR(nn.Module):
-    """SwinIR restoration network at scale 1 (low-light / denoise layout)."""
+    """SwinIR restoration network, ``upsampler=''`` path (official graph).
+
+    Accepts the official constructor surface so the reference sweep YAML
+    (``configs/colab/sid_swinir_baseline.yml``) instantiates unchanged.
+    ``img_size``/``upscale`` are accepted for config parity; the forward
+    pass is fully resolution-agnostic and ``upscale`` must be 1.
+    """
 
     img_channel: int = 3
     embed_dim: int = 60
     depths: Sequence[int] = (4, 4, 4, 4)
     num_heads: Sequence[int] = (6, 6, 6, 6)
     window_size: int = 8
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    # --- official config surface (swinir defaults) ---
+    in_chans: int | None = None       # alias for img_channel
+    img_size: int = 64                # accepted, unused (static per-trace)
+    upscale: int = 1                  # only 1 supported (restoration)
+    img_range: float = 1.0
+    upsampler: str = ""               # only '' (denoise/low-light) path
+    resi_connection: str = "1conv"    # only '1conv' supported
+    patch_norm: bool = True           # LayerNorm after patch embedding
+    ape: bool = False                 # absolute pos embed: not supported
+    qkv_bias: bool = True             # official default; False unsupported
 
     @nn.compact
     def __call__(self, inp: Array, *, deterministic: bool = True) -> Array:
+        if self.upscale != 1:
+            raise NotImplementedError("SwinIR: only upscale=1 (restoration)")
+        if self.upsampler != "":
+            raise NotImplementedError("SwinIR: only upsampler='' supported")
+        if self.resi_connection != "1conv":
+            raise NotImplementedError("SwinIR: only resi_connection='1conv'")
+        if self.ape or not self.qkv_bias:
+            raise NotImplementedError("SwinIR: ape/qkv_bias=False unsupported")
+        chans = self.in_chans if self.in_chans is not None else (
+            self.img_channel)
+
         n, h, w, _ = inp.shape
         ws = self.window_size
         ph = (ws - h % ws) % ws
@@ -202,20 +242,35 @@ class SwinIR(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                         mode="reflect")
 
+        # official input normalization: x = (x - mean) * img_range
+        mean = (jnp.asarray(_RGB_MEAN, jnp.float32) if chans == 3
+                else jnp.zeros((chans,), jnp.float32))
+        x = (x - mean) * self.img_range
+
         shallow = nn.Conv(self.embed_dim, (3, 3), padding="SAME",
                           dtype=self.dtype, param_dtype=jnp.float32,
                           name="conv_first")(x.astype(self.dtype))
         y = shallow
+        # patch embed: NHWC is already the [.., HW, C]-equivalent layout;
+        # the official flatten/unflatten is a no-op here beyond the norm
+        if self.patch_norm:
+            y = nn.LayerNorm(dtype=jnp.float32,
+                             name="patch_embed_norm")(y).astype(self.dtype)
         for li, (depth, heads) in enumerate(zip(self.depths,
                                                 self.num_heads)):
             y = RSTB(self.embed_dim, depth, heads, ws, self.mlp_ratio,
                      self.dtype, name=f"rstb{li}")(y)
+        # official trailing LayerNorm (``self.norm``) closing the body
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y).astype(
+            self.dtype)
         y = nn.Conv(self.embed_dim, (3, 3), padding="SAME",
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv_after_body")(y)
         y = y + shallow
-        out = nn.Conv(self.img_channel, (3, 3), padding="SAME",
+        out = nn.Conv(chans, (3, 3), padding="SAME",
                       dtype=self.dtype, param_dtype=jnp.float32,
                       name="conv_last")(y)
         out = out + x.astype(self.dtype)
-        return out[:, :h, :w, :].astype(jnp.float32)
+        # undo normalization: x / img_range + mean
+        out = out.astype(jnp.float32) / self.img_range + mean
+        return out[:, :h, :w, :]
