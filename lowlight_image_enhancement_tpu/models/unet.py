@@ -31,6 +31,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from lowlight_image_enhancement_tpu.ops.image_ops import max_pool_2x2
+
 from lowlight_image_enhancement_tpu.utils.registry import ARCH_REGISTRY
 
 Array = jax.Array
@@ -89,7 +91,7 @@ class UNetSID(nn.Module):
         skips = []
         for i, c in enumerate(chans[1:], start=1):
             skips.append(h)
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = max_pool_2x2(h)
             h = DoubleConv(c, self.norm, self.dtype, name=f"down{i}")(h)
 
         # extra 2-conv stage at the lowest scale (reference ``bottom``,

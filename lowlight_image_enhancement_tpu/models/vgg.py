@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lowlight_image_enhancement_tpu.ops.image_ops import max_pool_2x2
+
 logger = logging.getLogger(__name__)
 
 Array = jax.Array
@@ -74,7 +76,7 @@ class VGG19Features(nn.Module):
                 if name in self.taps:
                     outputs[name] = x
             if stage < len(_VGG19_CFG):
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)
         missing = set(self.taps) - set(outputs)
         if missing:
             raise ValueError(f"unknown VGG taps requested: {sorted(missing)}")

@@ -22,6 +22,25 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def max_pool_2x2(x: Array) -> Array:
+    """2x2/stride-2 max pool as strided slices + elementwise maxima.
+
+    Forward-identical to ``nn.max_pool((2,2),(2,2))`` / torch
+    ``MaxPool2d(2)`` (odd trailing row/col floored away, torch
+    semantics). The point is the BACKWARD: ``reduce_window``'s gradient
+    lowers to XLA SelectAndScatter (slow on TPU), while this form's
+    gradient is three selects + four zero-pads — cheap VPU work that
+    fuses. Gradient tie-routing differs from torch's first-argmax on
+    exact float ties only (measure-zero for real activations)."""
+    h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    x = x[:, : h2 * 2, : w2 * 2, :]
+    a = x[:, 0::2, 0::2, :]
+    b = x[:, 0::2, 1::2, :]
+    c = x[:, 1::2, 0::2, :]
+    d = x[:, 1::2, 1::2, :]
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
 def pixel_unshuffle(x: Array, r: int = 2) -> Array:
     """NHWC pixel unshuffle with torch channel ordering ``(c, r1, r2)``."""
     n, h, w, c = x.shape

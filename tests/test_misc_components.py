@@ -15,6 +15,7 @@ from lowlight_image_enhancement_tpu.metrics.psnr_ssim_img import (
 )
 from lowlight_image_enhancement_tpu.ops.image_ops import (
     flow_warp,
+    max_pool_2x2,
     pixel_unshuffle,
     resize_flow,
 )
@@ -28,6 +29,24 @@ class TestImageOps:
                         dtype=jnp.float32)
         y = pixel_unshuffle(pixel_shuffle(x, 2), 2)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_max_pool_2x2_matches_reduce_window(self, rng):
+        """Slice-max formulation == nn.max_pool forward, incl. the
+        odd-size floor (torch MaxPool2d semantics); grads route to a
+        single argmax per window (sum of |grad| == count of windows)."""
+        import flax.linen as nn
+
+        for h, w in [(8, 8), (13, 17), (2, 3)]:
+            x = jnp.asarray(rng.standard_normal((2, h, w, 5)),
+                            dtype=jnp.float32)
+            got = max_pool_2x2(x)
+            want = nn.max_pool(x[:, : h // 2 * 2, : w // 2 * 2, :],
+                               (2, 2), strides=(2, 2))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)), jnp.float32)
+        g = jax.grad(lambda xx: jnp.sum(max_pool_2x2(xx)))(x)
+        assert float(jnp.sum(jnp.abs(g))) == 9 * 4  # one 1.0 per window
 
     def test_flow_warp_zero_flow_identity(self, rng):
         x = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), dtype=jnp.float32)
