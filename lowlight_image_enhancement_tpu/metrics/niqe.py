@@ -89,26 +89,49 @@ def _mscn(img: np.ndarray) -> np.ndarray:
 
 def _load_pris_params(path: Optional[str]):
     """Search order: explicit path -> $LLIE_NIQE_PARAMS -> the BUNDLED
+    real-photo-corpus fit (``weights/niqe_pris_params_photo.npz``, from
+    ``tools/make_niqe_params.py --bundled-photos``) -> the BUNDLED
     synthetic-corpus fit (``weights/niqe_pris_params_synthetic.npz``,
     produced by ``tools/make_niqe_params.py --synthetic 64 --seed 0``).
 
-    The bundled model makes NIQE runnable out of the box; its values are
+    The bundled models make NIQE runnable out of the box; values are
     self-consistent but will NOT numerically match scores computed against
     the reference's MATLAB-fit ``niqe_pris_params.npz`` (different
     pristine corpus). For reference-number parity, point
-    $LLIE_NIQE_PARAMS at that file."""
-    bundled = os.path.join(os.path.dirname(__file__), "..", "weights",
-                           "niqe_pris_params_synthetic.npz")
-    for cand in (path, os.environ.get("LLIE_NIQE_PARAMS"), bundled):
+    $LLIE_NIQE_PARAMS at that file. Use :func:`niqe_model_info` to see
+    which model (and corpus) is active."""
+    mu, cov, _ = _load_pris_params_info(path)
+    return mu, cov
+
+
+def _load_pris_params_info(path: Optional[str]):
+    wdir = os.path.join(os.path.dirname(__file__), "..", "weights")
+    candidates = (
+        path,
+        os.environ.get("LLIE_NIQE_PARAMS"),
+        os.path.join(wdir, "niqe_pris_params_photo.npz"),
+        os.path.join(wdir, "niqe_pris_params_synthetic.npz"),
+    )
+    for cand in candidates:
         if cand and os.path.exists(cand):
             data = np.load(cand)
-            return data["mu_pris_param"], data["cov_pris_param"]
+            corpus = str(data["corpus"]) if "corpus" in data else "unknown"
+            return (data["mu_pris_param"], data["cov_pris_param"],
+                    {"path": os.path.abspath(cand), "corpus": corpus})
     raise FileNotFoundError(
         "NIQE pristine-model parameters not found: provide "
         "niqe_pris_params.npz via the `pris_params_path` argument or "
         "$LLIE_NIQE_PARAMS (the reference ships this data file; the NIQE "
         "math itself is fully implemented here)."
     )
+
+
+def niqe_model_info(pris_params_path: Optional[str] = None) -> dict:
+    """Provenance of the pristine model :func:`calculate_niqe` would use:
+    ``{'path': ..., 'corpus': ...}`` (corpus tag written by
+    ``tools/make_niqe_params.py``). Scores are only comparable within one
+    pristine model."""
+    return _load_pris_params_info(pris_params_path)[2]
 
 
 def calculate_niqe(
