@@ -394,6 +394,97 @@ class FusedNAFBlock(nn.Module):
         return fused_nafblock(x.astype(self.dtype), p, cfg)
 
 
+class _FlatXLANAFBlock(nn.Module):
+    """NAFBlock in the flat ``[N, C, H*W]`` layout as plain XLA ops.
+
+    For stacks the Pallas auto-dispatch leaves unfused (the C=512 middle
+    stack: ``fused_blocks="auto"`` fuses C<=256), the flat trunk used to
+    transpose back to NHWC and run :class:`NAFBlock` — paying two layout
+    copies per stack plus XLA's grouped-conv lowering for the depthwise.
+    This block stays flat instead: 1x1 convs are single 2-D MXU einsums
+    over the channel axis, the 3x3 depthwise is 9 shift-FMAs
+    (:func:`_flat_shift` — trivial VPU work at the middle stack's 32^2
+    spatial), LN/SCA reduce over sublanes/lanes directly, and XLA fuses
+    the elementwise glue. Param tree identical to :class:`NAFBlock`
+    (same names, shapes, inits) — checkpoints interoperate.
+    """
+
+    features: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dtype: Any = jnp.float32
+    hw: Any = (0, 0)  # static (H, W)
+    eps: float = 1e-6
+
+    def _ln(self, x: Array, w: Array, b: Array) -> Array:
+        """Channel LN over axis 1 of [N, C, S] (fp32 math)."""
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.eps)
+        return (y * w.astype(jnp.float32)[None, :, None]
+                + b.astype(jnp.float32)[None, :, None]).astype(self.dtype)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h, w = int(self.hw[0]), int(self.hw[1])
+        c = self.features
+        dw = c * self.dw_expand
+        ffn = c * self.ffn_expand
+        cdt = self.dtype
+
+        n1w, n1b = _LNParams(c, name="norm1")()
+        k1, b1 = _Conv2dParams((1, 1, c, dw), name="conv1")()
+        k2, b2 = _Conv2dParams((3, 3, 1, dw), name="conv2")()
+        ksca, bsca = _Conv2dParams((1, 1, dw // 2, dw // 2),
+                                   name="sca_conv")()
+        k3, b3 = _Conv2dParams((1, 1, dw // 2, c), name="conv3")()
+        n2w, n2b = _LNParams(c, name="norm2")()
+        k4, b4 = _Conv2dParams((1, 1, c, ffn), name="conv4")()
+        k5, b5 = _Conv2dParams((1, 1, ffn // 2, c), name="conv5")()
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+
+        def conv1x1(t, k, b):
+            out = jnp.einsum("co,ncs->nos", k[0, 0].astype(cdt), t)
+            if b is not None:
+                out = out + b.astype(cdt)[None, :, None]
+            return out
+
+        inp = x
+        y = self._ln(x, n1w, n1b)
+        t = conv1x1(y, k1, b1)
+        # 3x3 depthwise, separable-factorized (same scheme as the Pallas
+        # kernel): 2 row-shift copies, 9 FMAs, 2 column shifts of the
+        # partial sums — 4 shift copies instead of 8
+        taps = k2[:, :, 0, :].astype(cdt)
+        rows = {dr: (_flat_shift(t, dr, 0, h, w) if dr else t)
+                for dr in (-1, 0, 1)}
+        u = None
+        for dc in (-1, 0, 1):
+            s = None
+            for dr in (-1, 0, 1):
+                term = taps[dr + 1, dc + 1][None, :, None] * rows[dr]
+                s = term if s is None else s + term
+            if dc:
+                s = _flat_shift(s, 0, dc, h, w)
+            u = s if u is None else u + s
+        u = u + b2.astype(cdt)[None, :, None]
+        g = u[:, : dw // 2] * u[:, dw // 2:]          # SimpleGate
+        att = jnp.mean(g.astype(jnp.float32), axis=2).astype(cdt)  # [N, C]
+        att = att @ ksca[0, 0].astype(cdt) + bsca.astype(cdt)
+        y = g * att[:, :, None]
+        y = conv1x1(y, k3, b3)
+        z = inp + y * beta.astype(cdt)[None, :, None]
+
+        y = self._ln(z, n2w, n2b)
+        y = conv1x1(y, k4, b4)
+        y = y[:, : ffn // 2] * y[:, ffn // 2:]
+        y = conv1x1(y, k5, b5)
+        return z + y * gamma.astype(cdt)[None, :, None]
+
+
 class _ScanBody(nn.Module):
     """scan body: ``(carry, _) -> (carry, None)`` around one NAFBlock."""
 
@@ -610,6 +701,15 @@ class NAFNet(nn.Module):
             if fused_hw is not None:
                 return self._fused_stack(x, num, chan, name, fused_hw,
                                          deterministic)
+            if not self.scan_blocks:
+                # stay flat: XLA-op NAFBlocks (no NHWC round trip, no
+                # grouped-conv depthwise) — see _FlatXLANAFBlock
+                for bi in range(num):
+                    x = _FlatXLANAFBlock(
+                        chan, self.dw_expand, self.ffn_expand,
+                        self.dtype, flat_hw, name=f"{name}_blk{bi}",
+                    )(x)
+                return x
             xh = to_nhwc(x, flat_hw[0], flat_hw[1])
             xh = self._unfused_stack(xh, num, chan, name, deterministic)
             return to_flat(xh)

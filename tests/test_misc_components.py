@@ -30,12 +30,15 @@ class TestImageOps:
         y = pixel_unshuffle(pixel_shuffle(x, 2), 2)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
-    def test_max_pool_2x2_matches_reduce_window(self, rng):
-        """Slice-max formulation == nn.max_pool forward, incl. the
+    @pytest.mark.parametrize("impl", ["reduce_window", "cmp", "slice"])
+    def test_max_pool_2x2_impls_agree(self, rng, impl, monkeypatch):
+        """All selectable lowerings == nn.max_pool forward, incl. the
         odd-size floor (torch MaxPool2d semantics); grads route to a
-        single argmax per window (sum of |grad| == count of windows)."""
+        single argmax per window (sum of |grad| == count of windows,
+        exact for distinct float values)."""
         import flax.linen as nn
 
+        monkeypatch.setenv("LLIE_MAXPOOL_IMPL", impl)
         for h, w in [(8, 8), (13, 17), (2, 3)]:
             x = jnp.asarray(rng.standard_normal((2, h, w, 5)),
                             dtype=jnp.float32)
