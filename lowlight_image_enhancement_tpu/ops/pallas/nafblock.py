@@ -78,6 +78,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Measurement-only kernel ablations (``LLIE_NAFBLOCK_ABLATE``: comma list
+# from {tapgrads, adjoint, dwrecompute, p1wgrads, p2wgrads}). Each replaces
+# one backward component with a same-shaped stand-in so its device cost can
+# be attributed by subtraction on a trace. Gradients become WRONG — never
+# set while training; consumed by tools/bench_kernels.py ablation sweeps.
+def _ablated(name: str) -> bool:
+    return name in os.environ.get("LLIE_NAFBLOCK_ABLATE", "").split(",")
+
+
 class BlockConfig(NamedTuple):
     """Static geometry of one fused block call (hashable: custom_vjp
     nondiff arg).
@@ -194,7 +203,7 @@ def _shift_cols(x: Array, dc: int, masks) -> Array:
 
 
 def _dwconv(t: Array, kdw: Array, w: int, masks=None,
-            adjoint: bool = False) -> Array:
+            adjoint: bool = False, return_rows: bool = False):
     """Depthwise 3x3 (or its adjoint) on the flat layout, factorized.
 
     ``t``: [DW, L]; ``kdw``: [DW, 9] with tap order ``kh*3+kw`` (torch/Flax
@@ -205,7 +214,11 @@ def _dwconv(t: Array, kdw: Array, w: int, masks=None,
     Lowering: ``out = sum_dc shift_col(dc, sum_dr k[dr,dc] *
     shift_row(dr, t))`` — 2 row shifts (no masks: halo rows carry
     validity), 9 FMAs, 2 premasked column shifts. ~23 VPU ops/element vs
-    ~45 for the naive per-tap shift+mask form (measured bottleneck)."""
+    ~45 for the naive per-tap shift+mask form (measured bottleneck).
+
+    ``return_rows``: also return the ``{dr: shift_row(dr, t)}`` dict so
+    callers needing shifted-``t`` tensors (P2's tap grads) can reuse them
+    instead of re-shifting."""
     if masks is None:
         masks = _col_masks(w, t.shape[1])
     sgn = -1 if adjoint else 1
@@ -219,6 +232,8 @@ def _dwconv(t: Array, kdw: Array, w: int, masks=None,
             s = term if s is None else s + term
         s = _shift_cols(s, sgn * dc, masks)
         out = s if out is None else out + s
+    if return_rows:
+        return out, rows
     return out
 
 
@@ -590,22 +605,33 @@ def _kernel_p1(x_in, g_in, dout_in, att,
     s = _dot(w5m[...], wv, ((1,), (0,)), cdt) + b5[...]
 
     # --- backward ---
-    _accumulate(dgamma_a, jnp.sum(dout * s, axis=1, keepdims=True), first)
+    c = cfg.c
+    if _ablated("p1wgrads"):
+        def _acc_w(ref, thunk, shape):
+            _accumulate(ref, jnp.zeros(shape, jnp.float32), first)
+    else:
+        def _acc_w(ref, thunk, shape):
+            _accumulate(ref, thunk(), first)
+    _acc_w(dgamma_a,
+           lambda: jnp.sum(dout * s, axis=1, keepdims=True), (c, 1))
     ds = gammav * dout
-    _accumulate(dw5_a, _dot(ds, wv, ((1,), (1,)), cdt), first)
-    _accumulate(db5_a, jnp.sum(ds, axis=1, keepdims=True), first)
+    _acc_w(dw5_a, lambda: _dot(ds, wv, ((1,), (1,)), cdt), (c, fh))
+    _acc_w(db5_a, lambda: jnp.sum(ds, axis=1, keepdims=True), (c, 1))
     dwv = _dot(w5m[...], ds, ((0,), (0,)), cdt)
     dq = jnp.concatenate([dwv * q2, dwv * q1], axis=0)
-    _accumulate(dw4_a, _dot(dq, h2, ((1,), (1,)), cdt), first)
-    _accumulate(db4_a, jnp.sum(dq, axis=1, keepdims=True), first)
+    _acc_w(dw4_a, lambda: _dot(dq, h2, ((1,), (1,)), cdt), (cfg.ffn_ch, c))
+    _acc_w(db4_a, lambda: jnp.sum(dq, axis=1, keepdims=True),
+           (cfg.ffn_ch, 1))
     dh2 = _dot(w4m[...], dq, ((0,), (0,)), cdt)
-    _accumulate(dw2n_a, jnp.sum(dh2 * xhat2, axis=1, keepdims=True), first)
-    _accumulate(db2n_a, jnp.sum(dh2, axis=1, keepdims=True), first)
+    _acc_w(dw2n_a, lambda: jnp.sum(dh2 * xhat2, axis=1, keepdims=True),
+           (c, 1))
+    _acc_w(db2n_a, lambda: jnp.sum(dh2, axis=1, keepdims=True), (c, 1))
     dz = dout + _ln_bwd(dh2, xhat2, rstd2, w2n[...])
-    _accumulate(dbeta_a, jnp.sum(dz * pth, axis=1, keepdims=True), first)
+    _acc_w(dbeta_a, lambda: jnp.sum(dz * pth, axis=1, keepdims=True),
+           (c, 1))
     dp = betav * dz
-    _accumulate(dw3_a, _dot(dp, v, ((1,), (1,)), cdt), first)
-    _accumulate(db3_a, jnp.sum(dp, axis=1, keepdims=True), first)
+    _acc_w(dw3_a, lambda: _dot(dp, v, ((1,), (1,)), cdt), (c, c))
+    _acc_w(db3_a, lambda: jnp.sum(dp, axis=1, keepdims=True), (c, 1))
     dv = _dot(w3m[...], dp, ((0,), (0,)), cdt)
     _accumulate(da_out, _pern_pad(jnp.sum(dv * gf, axis=1,
                                           keepdims=True))[None], i == 0)
@@ -697,10 +723,12 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
     if hx > 0:
         t = jnp.where(_row_validity(i, th, w, r2l, hx, cfg.h), t,
                       jnp.zeros((), t.dtype))
-    u_full = _dwconv(t, kdw[...], w)
+    if _ablated("dwrecompute"):
+        u_full, rows_full = t, {dr: t for dr in (-1, 0, 1)}
+    else:
+        u_full, rows_full = _dwconv(t, kdw[...], w, return_rows=True)
     # slice to the dg halo grid (hx >= hg + 1 keeps u valid there)
     u_h = u_full[:, (hx - hg) * w:(hx + th + hg) * w]
-    t_h = t[:, (hx - hg) * w:(hx + th + hg) * w]
 
     # --- gate backward on the dg halo grid ---
     dg = dgv.astype(jnp.float32) + _pern_read(dgc)
@@ -725,35 +753,55 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
     else:
         Dz = D
     _accumulate(dbk_a, jnp.sum(Dz[0], axis=1, keepdims=True), first)
-    rows_t = {dr: _shift_rows(t_h, dr, w) for dr in (-1, 0, 1)}
-    dk_cols = [
-        jnp.sum(Dz[kw_ - 1] * rows_t[kh - 1], axis=1, keepdims=True)
-        for kh in range(3) for kw_ in range(3)
-    ]
-    _accumulate(dkdw_a, jnp.concatenate(dk_cols, axis=1), first)
+    # Reuse the recompute's row-shift tensors for the tap grads: slicing
+    # shift_row(t) to the dg grid differs from shift_row(t_h) only on r1l
+    # halo rows, where Dz is zero — the products are identical.
+    rows_t = {dr: rows_full[dr][:, (hx - hg) * w:(hx + th + hg) * w]
+              for dr in (-1, 0, 1)}
+    if _ablated("tapgrads"):
+        dk = jnp.zeros_like(kdw[...])
+    else:
+        dk_cols = [
+            jnp.sum(Dz[kw_ - 1] * rows_t[kh - 1], axis=1, keepdims=True)
+            for kh in range(3) for kw_ in range(3)
+        ]
+        dk = jnp.concatenate(dk_cols, axis=1)
+    _accumulate(dkdw_a, dk, first)
     kdwv = kdw[...]
-    dt = None
-    for dr in (-1, 0, 1):
-        s = None
-        for dc in (-1, 0, 1):
-            tap = kdwv[:, (dr + 1) * 3 + dc + 1 : (dr + 1) * 3 + dc + 2]
-            term = tap * D[dc]
-            s = term if s is None else s + term
-        s = _shift_rows(s, -dr, w)
-        dt = s if dt is None else dt + s
-    dt = dt[:, hg * w:(hg + th) * w]
+    if _ablated("adjoint"):
+        dt = D[0][:, hg * w:(hg + th) * w]
+    else:
+        dt = None
+        for dr in (-1, 0, 1):
+            s = None
+            for dc in (-1, 0, 1):
+                tap = kdwv[:, (dr + 1) * 3 + dc + 1 : (dr + 1) * 3 + dc + 2]
+                term = tap * D[dc]
+                s = term if s is None else s + term
+            s = _shift_rows(s, -dr, w)
+            dt = s if dt is None else dt + s
+        dt = dt[:, hg * w:(hg + th) * w]
 
     # --- conv1 backward ---
     h_mid = h[:, hx * w:(hx + th) * w]
-    _accumulate(dw1_a, _dot(dt, h_mid, ((1,), (1,)), cdt), first)
-    _accumulate(db1_a, jnp.sum(dt, axis=1, keepdims=True), first)
+    if _ablated("p2wgrads"):
+        _accumulate(dw1_a, jnp.zeros((cfg.dw_ch, c), jnp.float32), first)
+        _accumulate(db1_a, jnp.zeros((cfg.dw_ch, 1), jnp.float32), first)
+    else:
+        _accumulate(dw1_a, _dot(dt, h_mid, ((1,), (1,)), cdt), first)
+        _accumulate(db1_a, jnp.sum(dt, axis=1, keepdims=True), first)
     dh = _dot(w1m[...], dt, ((0,), (0,)), cdt)
 
     # --- LN1 backward ---
     xhat_m = xhat[:, hx * w:(hx + th) * w]
     rstd_m = rstd[:, hx * w:(hx + th) * w]
-    _accumulate(dw1n_a, jnp.sum(dh * xhat_m, axis=1, keepdims=True), first)
-    _accumulate(db1n_a, jnp.sum(dh, axis=1, keepdims=True), first)
+    if _ablated("p2wgrads"):
+        _accumulate(dw1n_a, jnp.zeros((c, 1), jnp.float32), first)
+        _accumulate(db1n_a, jnp.zeros((c, 1), jnp.float32), first)
+    else:
+        _accumulate(dw1n_a, jnp.sum(dh * xhat_m, axis=1, keepdims=True),
+                    first)
+        _accumulate(db1n_a, jnp.sum(dh, axis=1, keepdims=True), first)
     dx = _ln_bwd(dh, xhat_m, rstd_m, w1nv) + dz_in[0].astype(jnp.float32)
     dx_out[0] = dx.astype(dx_out.dtype)
 
