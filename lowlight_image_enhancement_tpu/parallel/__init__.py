@@ -4,3 +4,7 @@ from lowlight_image_enhancement_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     shard_batch,
 )
+from lowlight_image_enhancement_tpu.parallel.spatial import (  # noqa: F401
+    halo_exchange_rows,
+    nafnet_apply_spatial,
+)
