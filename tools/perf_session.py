@@ -10,12 +10,14 @@ read at trace time, so every configuration needs a fresh process):
    weight grads) by subtraction
 3. ``profile_step_families.py --perc``  — per-op-family device time of
    the full-recipe step (where the VGG term goes)
+4. ``train_pipeline_e2e.py``            — wall vs device vs host-only
+   steps/s (round-2 VERDICT #3 input-pipeline demonstration)
 
 Designed for the hosted tunnel: serial, bounded timeouts, everything
 written incrementally to ``--out`` (default perf_session.json) so a
 mid-session hang loses nothing. Run alone on this 1-core host.
 
-Usage: python tools/perf_session.py [--skip bench,ablate,profile]
+Usage: python tools/perf_session.py [--skip bench,ablate,profile,pipeline]
 """
 
 from __future__ import annotations
@@ -156,6 +158,21 @@ def main() -> None:
         report["profile_perc"] = {"ok": ok, "secs": dt, "out": out[-6000:]}
         save(report, args.out)
         print(f"profile(perc): ok={ok} {dt}s", flush=True)
+
+    if "pipeline" not in skip:
+        pipe_json = os.path.join(ROOT, "pipeline_e2e.json")
+        ok, out, dt = run(
+            [sys.executable, "tools/train_pipeline_e2e.py", "--steps", "100",
+             "--workers", "2", "--json", pipe_json], timeout=args.timeout)
+        try:
+            with open(pipe_json) as f:
+                pipe = json.load(f)
+        except Exception:
+            pipe = None
+        report["pipeline_e2e"] = {"ok": ok, "secs": dt, "json": pipe,
+                                  "tail": None if pipe else out[-2500:]}
+        save(report, args.out)
+        print(f"pipeline_e2e: ok={ok} {dt}s", flush=True)
 
     print(json.dumps(report.get("bench", {}).get("json"), indent=None))
 
