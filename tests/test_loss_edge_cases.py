@@ -61,6 +61,7 @@ class TestEdgeCases:
         o = jnp.ones((1, S, S, 3))
         _finite_value_and_grad(_full_loss(), _batch(o, o, o, 1.0))
 
+    @pytest.mark.slow  # measured 9s on 1-core host (round-3 re-tier)
     def test_black_pred_white_target(self):
         z = jnp.zeros((1, S, S, 3))
         o = jnp.ones((1, S, S, 3))

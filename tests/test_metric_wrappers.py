@@ -55,6 +55,7 @@ class TestLpipsWrappers:
         d255 = m.distance(a * 255.0, b * 255.0)
         np.testing.assert_allclose(d01, d255, rtol=1e-4)
 
+    @pytest.mark.slow  # measured 13s on 1-core host (round-3 re-tier)
     def test_gray_promotion_and_min_size(self, rng):
         m = LPIPSMetric(net="alex")
         g = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)

@@ -101,6 +101,7 @@ class TestTLC:
             want = x[0, r0:r1, c0:c1, 0].mean()
             np.testing.assert_allclose(wm[0, i, j, 0], want, atol=1e-5)
 
+    @pytest.mark.slow  # measured 13s on 1-core host (round-3 re-tier)
     def test_tlc_nafnet_params_compatible(self, rng):
         """NAFNetLocal must accept plain NAFNet params unchanged."""
         from lowlight_image_enhancement_tpu.models import define_network

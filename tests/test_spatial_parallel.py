@@ -59,6 +59,7 @@ class TestHaloExchange:
             np.pad(np.asarray(x), ((0, 0), (2, 2), (0, 0), (0, 0))))
 
 
+@pytest.mark.slow  # compile-heavy shard_map forwards (~40s each on 1-core host)
 class TestSpatialNAFNet:
     @pytest.fixture(scope="class")
     def net_and_params(self):

@@ -28,6 +28,7 @@ class TestVggConverterMapping:
         idxs = sorted(_IDX_TO_NAME)
         assert idxs == list(idxs) and len(idxs) == 16
 
+    @pytest.mark.slow  # measured 8.5s on 1-core host (round-3 re-tier)
     def test_npz_loading_applies_weights(self, tmp_path, rng):
         """A synthetic npz in the converter's output format must actually
         land in the extractor's params."""
