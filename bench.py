@@ -25,9 +25,17 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
+
+if os.environ.get("LLIE_BENCH_FORCE_CPU"):
+    # Hermetic smoke only (the plain JAX_PLATFORMS env var is ignored by
+    # the hosted tunnel plugin; this in-process update is honored, and
+    # the train-probe subprocesses inherit the env var).
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -39,6 +47,115 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_STEPS_PER_SEC_ESTIMATE = 8.0
+
+NAFNET_PARAMS = dict(
+    img_channel=3,
+    width=32,
+    enc_blk_nums=(2, 2, 4, 8),
+    middle_blk_num=12,
+    dec_blk_nums=(2, 2, 2, 2),
+)
+
+
+def _flagship_batch():
+    """The fixed synthetic 512^2 batch-2 measurement batch.
+
+    ``LLIE_BENCH_SIDE`` overrides the side length (hermetic smoke tests
+    only — recorded numbers use the default 512)."""
+    rng = np.random.default_rng(0)
+    n, s = 2, int(os.environ.get("LLIE_BENCH_SIDE", "512"))
+    short_raw = rng.uniform(0, 0.2, (n, s, s, 3)).astype(np.float32)
+    ratio = np.full((n,), 5.0, np.float32)
+    lq = np.clip(short_raw * ratio[:, None, None, None], 0, 1).astype(
+        np.float32)
+    gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+    return {
+        "lq": jnp.asarray(lq),
+        "gt": jnp.asarray(gt),
+        "short_raw": jnp.asarray(short_raw),
+        "long_raw": jnp.asarray(gt),
+        "short_obs": jnp.asarray(short_raw),
+        "expo_ratio": jnp.asarray(ratio),
+    }
+
+
+def measure_train_inprocess(use_perc: bool, runs: int = 20) -> float:
+    """Seconds/step for the recipe with/without the perceptual term.
+
+    Two independent measurement rounds; report the SLOWER one. The
+    hosted tunnel occasionally mis-serializes a burst (observed once:
+    7.5 ms "steps" for a 31 ms graph) — a too-fast round is an
+    artifact, a too-slow one is just noise, so max(time) is honest.
+    """
+    from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+    from lowlight_image_enhancement_tpu.models import create_newbp_net
+    from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
+    from lowlight_image_enhancement_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_schedule,
+        make_train_step,
+    )
+
+    net = create_newbp_net(nafnet_params=NAFNET_PARAMS, dtype=jnp.bfloat16)
+    tx = make_optimizer(make_schedule(
+        {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
+        base_lr=5e-4,
+    ))
+    loss = HybridLossPlus(
+        use_perc=use_perc,
+        use_deltaE=True,
+        use_ssim=False,
+        perc_dtype=jnp.bfloat16,   # AMP recipe: VGG in autocast dtype
+        physics_psf_module=create_crosstalk_psf("mono", "P2"),
+    )
+    state = create_train_state(
+        net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        loss=loss,
+    )
+    step = make_train_step(net, loss, tx, donate=True)
+    batch = _flagship_batch()
+    for _ in range(3):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["l_total"])
+    round_s = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            state, logs = step(state, batch)
+        jax.block_until_ready(logs["l_total"])
+        round_s.append((time.perf_counter() - t0) / runs)
+    return max(round_s)
+
+
+def measure_train(use_perc: bool) -> float:
+    """Measure the train step in a FRESH subprocess.
+
+    Same-process sequential measurements contaminate each other on this
+    backend (observed: the no-perc step measuring ~50 ms instead of ~33
+    after the full-recipe executable ran first — buffer-assignment /
+    fragmentation pressure from the retired executables). A child
+    process gives every measurement a clean device heap; the persistent
+    compile cache keeps the re-compile cheap. Falls back to in-process
+    measurement if the child fails for any reason.
+    """
+    mode = "perc" if use_perc else "noperc"
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--train-probe", mode],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for ln in p.stdout.splitlines():
+            if ln.startswith("TRAIN_S "):
+                return float(ln.split()[1])
+        print(f"bench: train probe [{mode}] produced no result "
+              f"(rc={p.returncode}); falling back to in-process. tail: "
+              + (p.stdout + p.stderr)[-800:], file=sys.stderr)
+    except Exception as e:
+        print(f"bench: train probe [{mode}] failed ({e}); "
+              "falling back to in-process", file=sys.stderr)
+    return measure_train_inprocess(use_perc)
 
 
 def main() -> None:
@@ -55,82 +172,30 @@ def main() -> None:
         make_train_step,
     )
 
-    nafnet_params = dict(
-        img_channel=3,
-        width=32,
-        enc_blk_nums=(2, 2, 4, 8),
-        middle_blk_num=12,
-        dec_blk_nums=(2, 2, 2, 2),
-    )
+    nafnet_params = NAFNET_PARAMS
 
-    # --- training throughput: batch 2, 512x512, bf16 ---
+    import gc
+
+    runs = 20
+
+    # --- training throughput: batch 2, 512x512, bf16 — each measured in a
+    # fresh subprocess (see measure_train) ---
+    # Headline: the FULL reference recipe (perceptual term included,
+    # random-init VGG trunk — same FLOPs as pretrained).
+    train_s = measure_train(use_perc=True)
+    steps_per_sec = 1.0 / train_s
+    # Round-2-comparable number (recipe minus the perceptual term).
+    train_s_noperc = measure_train(use_perc=False)
+
+    # --- in-process setup for the remaining (variant) measurements ---
     net = create_newbp_net(nafnet_params=nafnet_params, dtype=jnp.bfloat16)
     schedule = make_schedule(
         {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
         base_lr=5e-4,
     )
     tx = make_optimizer(schedule)
-
     rng = np.random.default_rng(0)
-    n, s = 2, 512
-    short_raw = rng.uniform(0, 0.2, (n, s, s, 3)).astype(np.float32)
-    ratio = np.full((n,), 5.0, np.float32)
-    lq = np.clip(short_raw * ratio[:, None, None, None], 0, 1).astype(np.float32)
-    gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
-    batch = {
-        "lq": jnp.asarray(lq),
-        "gt": jnp.asarray(gt),
-        "short_raw": jnp.asarray(short_raw),
-        "long_raw": jnp.asarray(gt),
-        "short_obs": jnp.asarray(short_raw),
-        "expo_ratio": jnp.asarray(ratio),
-    }
-
-    import gc
-
-    runs = 20
-
-    def measure_train(use_perc: bool) -> float:
-        """Seconds/step for the recipe with/without the perceptual term.
-
-        Two independent measurement rounds; report the SLOWER one. The
-        hosted tunnel occasionally mis-serializes a burst (observed once:
-        7.5 ms "steps" for a 31 ms graph) — a too-fast round is an
-        artifact, a too-slow one is just noise, so max(time) is honest.
-        """
-        loss = HybridLossPlus(
-            use_perc=use_perc,
-            use_deltaE=True,
-            use_ssim=False,
-            perc_dtype=jnp.bfloat16,   # AMP recipe: VGG in autocast dtype
-            physics_psf_module=create_crosstalk_psf("mono", "P2"),
-        )
-        state = create_train_state(
-            net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-            loss=loss,
-        )
-        step = make_train_step(net, loss, tx, donate=True)
-        for _ in range(3):
-            state, logs = step(state, batch)
-        jax.block_until_ready(logs["l_total"])
-        round_s = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(runs):
-                state, logs = step(state, batch)
-            jax.block_until_ready(logs["l_total"])
-            round_s.append((time.perf_counter() - t0) / runs)
-        del state, step, logs, loss
-        gc.collect()
-        return max(round_s)
-
-    # Headline: the FULL reference recipe (perceptual term included,
-    # random-init VGG trunk — same FLOPs as pretrained). Measured first so
-    # its executable gets an unconstrained buffer assignment.
-    train_s = measure_train(use_perc=True)
-    steps_per_sec = 1.0 / train_s
-    # Round-2-comparable number (recipe minus the perceptual term).
-    train_s_noperc = measure_train(use_perc=False)
+    batch = _flagship_batch()
 
     loss = HybridLossPlus(
         use_perc=False,
@@ -271,4 +336,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--train-probe":
+        s = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
+        print(f"TRAIN_S {s:.9f}", flush=True)
+    else:
+        main()

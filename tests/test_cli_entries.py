@@ -168,3 +168,42 @@ class TestFlagshipConfigStance:
             Bhat_srgb01=x, B_srgb01=x,
         )
         assert bool(jax.numpy.isfinite(total))
+
+
+class TestBenchTrainProbe:
+    """bench.py isolates each 512^2 train measurement in a subprocess
+    (same-process sequential measurements contaminate each other on the
+    hosted backend). These cover the parent-side plumbing hermetically."""
+
+    def _bench(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        spec = importlib.util.spec_from_file_location("bench_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_probe_result_is_parsed(self, monkeypatch):
+        bench = self._bench()
+
+        class FakeProc:
+            returncode = 0
+            stdout = "noise\nTRAIN_S 0.04215\n"
+            stderr = ""
+
+        monkeypatch.setattr(bench.subprocess, "run",
+                            lambda *a, **k: FakeProc())
+        assert bench.measure_train(use_perc=True) == 0.04215
+
+    def test_probe_failure_falls_back_inprocess(self, monkeypatch):
+        bench = self._bench()
+
+        def boom(*a, **k):
+            raise OSError("spawn failed")
+
+        monkeypatch.setattr(bench.subprocess, "run", boom)
+        monkeypatch.setattr(bench, "measure_train_inprocess",
+                            lambda use_perc, runs=20: 0.111)
+        assert bench.measure_train(use_perc=False) == 0.111
