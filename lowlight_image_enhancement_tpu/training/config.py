@@ -16,8 +16,10 @@ nested dict and applies the same derivations:
 
 from __future__ import annotations
 
+import logging
 import os
 import re
+import tempfile
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -45,6 +47,28 @@ def find_sid_root(start: Optional[str] = None) -> Optional[str]:
     return None
 
 
+def _default_debug_sid_root() -> str:
+    """Self-provision the hermetic debug fixture set when a config
+    references ``${DEBUG_SID_ROOT}`` and the variable is unset, so
+    ``train -opt configs/debug/...`` works with zero setup (the debug
+    configs are hermetic by design — reference ``data/debug_sid/``
+    scheme, C63). Idempotent: generation is skipped when the manifest
+    already exists."""
+    root = os.path.join(tempfile.gettempdir(), "llie_debug_sid")
+    if not os.path.exists(os.path.join(root, "manifest_sid_debug.json")):
+        from lowlight_image_enhancement_tpu.data.debug_fixtures import (
+            make_debug_sid,
+        )
+
+        os.makedirs(root, exist_ok=True)
+        make_debug_sid(root)
+        logging.getLogger(__name__).info(
+            "DEBUG_SID_ROOT unset — generated synthetic debug fixtures "
+            "at %s", root)
+    os.environ["DEBUG_SID_ROOT"] = root
+    return root
+
+
 def _expand_value(val: Any, env: Dict[str, str]) -> Any:
     if isinstance(val, str):
         def sub(m):
@@ -53,6 +77,8 @@ def _expand_value(val: Any, env: Dict[str, str]) -> Any:
                 return env[name]
             if name in os.environ:
                 return os.environ[name]
+            if name == "DEBUG_SID_ROOT":
+                return _default_debug_sid_root()
             return m.group(0)
 
         return _ENV_RE.sub(sub, val)

@@ -207,3 +207,27 @@ class TestBenchTrainProbe:
         monkeypatch.setattr(bench, "measure_train_inprocess",
                             lambda use_perc, runs=20: 0.111)
         assert bench.measure_train(use_perc=False) == 0.111
+
+
+class TestDebugRootAutoProvision:
+    def test_unset_debug_sid_root_self_provisions(self, monkeypatch,
+                                                  tmp_path):
+        """Parsing a config that references ${DEBUG_SID_ROOT} with the
+        variable unset generates the hermetic fixtures in a temp dir so
+        `train -opt configs/debug/...` needs zero setup."""
+        import os
+
+        from lowlight_image_enhancement_tpu.training import config as cfg
+
+        monkeypatch.delenv("DEBUG_SID_ROOT", raising=False)
+        monkeypatch.setenv("TMPDIR", str(tmp_path))
+        import tempfile
+        monkeypatch.setattr(tempfile, "tempdir", None)  # re-read TMPDIR
+        opt = cfg.parse(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "debug",
+            "sid_newbp_mono_debug.yml"))
+        root = os.environ["DEBUG_SID_ROOT"]
+        assert root.startswith(str(tmp_path))
+        assert os.path.exists(os.path.join(root,
+                                           "manifest_sid_debug.json"))
+        assert root in opt["datasets"]["train"]["manifest_path"]
