@@ -257,8 +257,11 @@ def main() -> None:
             s2d_state, s2d_logs = s2d_step(s2d_state, batch)
         jax.block_until_ready(s2d_logs["l_total"])
         s2d_steps_per_sec = runs / (time.perf_counter() - t0)
-    except Exception:
-        pass  # the headline metric must never fail on the variant
+    except Exception as e:
+        # the headline metric must never fail on the variant — but a
+        # silent null hides a broken path; surface it on stderr
+        print(f"bench: s2d variant failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # --- optional: data-parallel scaling over all visible chips. Only
     # meaningful on real multi-chip hosts; on the single-chip tunnel this
