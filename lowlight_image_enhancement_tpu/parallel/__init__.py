@@ -8,3 +8,7 @@ from lowlight_image_enhancement_tpu.parallel.spatial import (  # noqa: F401
     halo_exchange_rows,
     nafnet_apply_spatial,
 )
+from lowlight_image_enhancement_tpu.parallel.zero import (  # noqa: F401
+    zero1_device_put,
+    zero1_shardings,
+)

@@ -141,6 +141,7 @@ def make_train_step(
     donate: bool = True,
     mixup_alpha: Optional[float] = None,
     seed: int = 0,
+    state_shardings=None,
 ) -> Callable[[TrainState, Mapping[str, Array]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
@@ -149,6 +150,10 @@ def make_train_step(
     ``short_raw/long_raw/short_obs/expo_ratio`` refine the physics wiring.
     ``mixup_alpha`` enables batch mixup (reference ``train.mixup``) with a
     per-step key derived from ``seed`` and the step counter.
+    ``state_shardings`` (a ``TrainState``-shaped pytree of
+    ``NamedSharding``; see ``parallel.zero.zero1_device_put``) pins the
+    output state's placement so e.g. ZeRO-1 optimizer-state partitioning
+    persists across steps.
     """
 
     def loss_fn(trainable, batch):
@@ -193,7 +198,13 @@ def make_train_step(
         )
         return new_state, logs
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,) if donate else (),
+        out_shardings=(
+            (state_shardings, None) if state_shardings is not None else None
+        ),
+    )
 
 
 def make_eval_step(net) -> Callable:
