@@ -161,11 +161,21 @@ class Trainer:
         )
         self.total_iters = int(train_opt.get("total_iter", 1000))
         mixup = train_opt.get("mixup", False)
+        # ZeRO-1: shard the optimizer moments 1/n over the mesh
+        # (train.zero1: true; parallel/zero.py — numerics identical)
+        self._zero1_shardings = None
+        if bool(train_opt.get("zero1", False)):
+            from lowlight_image_enhancement_tpu.parallel import (
+                zero1_shardings,
+            )
+
+            self._zero1_shardings = zero1_shardings(self.state, self.mesh)
         self.step_fn = make_train_step(
             self.net, self.loss, self.optimizer,
             pixel_loss=self.pixel_loss,
             mixup_alpha=(1.2 if mixup is True else mixup) or None,
             seed=seed,
+            state_shardings=self._zero1_shardings,
         )
         self.eval_fn = make_eval_step(self.net)
 
@@ -178,7 +188,11 @@ class Trainer:
                 self.state = resumed
                 self.start_iter = int(jax.device_get(self.state.step))
                 self.logger.info("auto-resumed at iter %d", self.start_iter)
-        self.state = put_replicated(self.state, self.mesh)
+        if self._zero1_shardings is not None:
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, self.state, self._zero1_shardings)
+        else:
+            self.state = put_replicated(self.state, self.mesh)
 
     # ------------------------------------------------------------------
     def train(self) -> TrainState:

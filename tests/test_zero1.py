@@ -51,6 +51,7 @@ class TestZero1:
         specs = [s.spec for s in jax.tree_util.tree_leaves(sh.opt_state)]
         assert any("data" in tuple(sp) for sp in specs if len(sp))
 
+    @pytest.mark.slow
     def test_matches_replicated_training_and_shards_memory(self):
         mesh = create_mesh()
         n = mesh.devices.size
@@ -88,3 +89,35 @@ class TestZero1:
                 found = True
                 break
         assert found, "no optimizer-state leaf is sharded 1/n"
+
+
+class TestZero1Trainer:
+    @pytest.mark.slow
+    def test_config_driven_zero1_training(self, tmp_path, monkeypatch):
+        """`train.zero1: true` in the YAML shards the trainer's optimizer
+        state and trains normally (debug config, 4 iters)."""
+        import os
+        import pathlib
+
+        from lowlight_image_enhancement_tpu.data import make_debug_sid
+        from lowlight_image_enhancement_tpu.training.config import parse
+        from lowlight_image_enhancement_tpu.training.trainer import Trainer
+
+        root = tmp_path / "debug_sid"
+        make_debug_sid(str(root), n_pairs=2, size=64, ratio=10.0)
+        monkeypatch.setenv("DEBUG_SID_ROOT", str(root))
+        cfg = pathlib.Path(__file__).parent.parent / "configs" / "debug" \
+            / "sid_newbp_mono_debug.yml"
+        opt = parse(str(cfg), is_train=True, root_dir=str(tmp_path))
+        opt["train"]["zero1"] = True
+        opt["train"]["total_iter"] = 4
+        opt["val"]["val_freq"] = 100  # skip mid-run validation
+        trainer = Trainer(opt)
+        assert trainer._zero1_shardings is not None
+        state = trainer.train()
+        n = trainer.mesh.devices.size
+        assert any(
+            hasattr(leaf, "addressable_shards") and leaf.ndim > 0
+            and leaf.addressable_shards[0].data.size * n == leaf.size
+            for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        ), "trainer state not ZeRO-1 sharded"
