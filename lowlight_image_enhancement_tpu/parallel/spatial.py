@@ -214,6 +214,12 @@ def nafnet_apply_spatial(
         mesh=mesh,
         in_specs=(P(None, axis_name, None, None), P()),
         out_specs=P(None, axis_name, None, None),
+        # the static replication checker cannot infer that the TRANSPOSE
+        # of this body (param cotangents: per-shard partials + inserted
+        # psum) is replicated — disable it so jax.grad works through the
+        # sharded forward (gradient parity vs single-device is asserted
+        # in tests/test_spatial_parallel.py::TestSpatialGradients)
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
     out = fn(x, params)

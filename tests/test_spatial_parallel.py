@@ -117,3 +117,35 @@ class TestSpatialNAFNet:
             nafnet_apply_spatial(tlc, params, x, mesh)
         with pytest.raises(ValueError, match="unrolled"):
             nafnet_apply_spatial(net, {"intro": params["intro"]}, x, mesh)
+
+
+class TestSpatialGradients:
+    @pytest.mark.slow
+    def test_param_grads_match_single_device(self):
+        """The SP forward is differentiable end-to-end (ppermute/psum have
+        exact transposes): parameter grads of a scalar loss through the
+        height-sharded forward == single-device grads."""
+        net = NAFNet(img_channel=3, width=8, middle_blk_num=1,
+                     enc_blk_nums=(1,), dec_blk_nums=(1,),
+                     fused_blocks=False, flat_trunk=False)
+        params = net.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 16, 16, 3)))["params"]
+        mesh = _mesh(4)
+        rng = np.random.default_rng(5)
+        h = spatial_pad_multiple(net, 4)
+        x = jnp.asarray(rng.normal(size=(1, h, 16, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(1, h, 16, 3)).astype(np.float32))
+
+        def loss_sp(p):
+            return jnp.mean((nafnet_apply_spatial(net, p, x, mesh) - tgt)
+                            ** 2)
+
+        def loss_ref(p):
+            return jnp.mean((net.apply({"params": p}, x) - tgt) ** 2)
+
+        g_sp = jax.grad(loss_sp)(params)
+        g_ref = jax.grad(loss_ref)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=3e-5)
