@@ -129,6 +129,10 @@ class Trainer:
             net_opt.setdefault("dtype", jnp.bfloat16)
         self.net = define_network(net_opt)
         self.loss = build_hybrid_loss(train_opt) or HybridLossPlus(
+            # pixel-only configs (reference sid_nafnet_baseline.yml) train
+            # on pixel_opt alone — zero the fallback's raw-L1 so the L1
+            # isn't counted twice
+            w_l1_raw=0.0 if train_opt.get("pixel_opt") else 1.0,
             use_perc=False, use_deltaE=False, use_ssim=False, use_phys=False
         )
         self.pixel_loss = (

@@ -72,7 +72,9 @@ class TestSweepConfigs:
     @pytest.mark.parametrize("cfg", ["sid_newbp_mono.yml", "sid_unet.yml",
                                      "sid_swinir.yml",
                                      "sid_nafnet_w64.yml",
-                                     "sid_nafnet_tpu.yml"])
+                                     "sid_nafnet_tpu.yml",
+                                     "sid_newbp_rgb.yml",
+                                     "sid_nafnet_baseline.yml"])
     def test_network_instantiates(self, cfg):
         import yaml
 
@@ -231,3 +233,43 @@ class TestDebugRootAutoProvision:
         assert os.path.exists(os.path.join(root,
                                            "manifest_sid_debug.json"))
         assert root in opt["datasets"]["train"]["manifest_path"]
+
+
+class TestPortedConfigs:
+    """The two remaining reference experiment arms (reference
+    configs/colab/{sid_newbp_rgb,sid_nafnet_baseline}.yml)."""
+
+    def test_rgb_b2_loss_builds_and_runs(self, monkeypatch):
+        import jax.numpy as jnp
+        import yaml
+
+        from lowlight_image_enhancement_tpu.training.trainer import (
+            build_hybrid_loss,
+        )
+
+        with open(CONFIGS / "sid_newbp_rgb.yml") as f:
+            opt = yaml.safe_load(f)
+        train_opt = dict(opt["train"])
+        train_opt["hybrid_opt"] = dict(train_opt["hybrid_opt"],
+                                       pretrained=False)  # hermetic
+        loss = build_hybrid_loss(train_opt)
+        assert loss.phys_srgb is not None
+        assert loss.phys_srgb.psf.mode == "rgb"
+        assert loss.phys_srgb.psf.kernel.shape == (3, 3, 3)
+        x = jnp.ones((1, 16, 16, 3)) * 0.4
+        total, logs = loss(Bhat_raw=x, B_raw=x, A_raw=x * 0.1,
+                           expo_ratio=10.0, Bhat_srgb01=x, B_srgb01=x,
+                           A_srgb01=x * 0.1)
+        assert jnp.isfinite(total) and "l_phys" in logs
+
+    def test_baseline_is_pixel_only(self):
+        import yaml
+
+        from lowlight_image_enhancement_tpu.training.trainer import (
+            build_hybrid_loss,
+        )
+
+        with open(CONFIGS / "sid_nafnet_baseline.yml") as f:
+            opt = yaml.safe_load(f)
+        assert build_hybrid_loss(opt["train"]) is None
+        assert opt["train"]["pixel_opt"]["type"] == "L1Loss"
