@@ -230,9 +230,9 @@ def main() -> None:
 
     # --- optional: the space-to-depth TPU-layout variant (same protocol,
     # capacity-matched params; see BASELINE.md) ---
-    # Free the headline model's device buffers first: leaving them resident
-    # forces a memory-constrained buffer assignment for the s2d executable
-    # (measured: 15 vs 53 steps/s).
+    # Free the inference model's device buffers first — resident buffers
+    # constrain the s2d executable's buffer assignment (the headline train
+    # states live in the probe subprocesses and are already gone).
     del variables, fwd, y
     gc.collect()
     s2d_steps_per_sec = None

@@ -61,8 +61,8 @@ def zero1_shardings(state, mesh: Mesh, axis_name: str = "data"):
     """A ``TrainState``-shaped pytree of ``NamedSharding``s with ZeRO-1
     semantics: ``opt_state`` leaves sharded, everything else replicated.
     """
-    n = mesh.devices.size
-    rep = NamedSharding(mesh, P())
+    n = mesh.shape[axis_name]   # size of the axis we shard over, not
+    rep = NamedSharding(mesh, P())  # the whole mesh (multi-axis meshes)
 
     opt_sh = jax.tree_util.tree_map(
         lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, n, axis_name)),
@@ -85,8 +85,4 @@ def zero1_device_put(state, mesh: Mesh,
     keeps the partitioning across iterations.
     """
     shardings = zero1_shardings(state, mesh, axis_name)
-    placed = jax.tree_util.tree_map(
-        jax.device_put, state, shardings,
-        is_leaf=lambda x: x is None,
-    )
-    return placed, shardings
+    return jax.device_put(state, shardings), shardings

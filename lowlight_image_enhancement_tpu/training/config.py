@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 import os
 import re
+import shutil
 import tempfile
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -54,14 +55,30 @@ def _default_debug_sid_root() -> str:
     configs are hermetic by design — reference ``data/debug_sid/``
     scheme, C63). Idempotent: generation is skipped when the manifest
     already exists."""
-    root = os.path.join(tempfile.gettempdir(), "llie_debug_sid")
+    uid = getattr(os, "getuid", lambda: "u")()
+    root = os.path.join(tempfile.gettempdir(), f"llie_debug_sid_{uid}")
     if not os.path.exists(os.path.join(root, "manifest_sid_debug.json")):
         from lowlight_image_enhancement_tpu.data.debug_fixtures import (
             make_debug_sid,
         )
 
-        os.makedirs(root, exist_ok=True)
-        make_debug_sid(root)
+        # build into a private dir, then atomically claim `root` — two
+        # concurrent parses never see half-written packs
+        tmp = f"{root}.build{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        make_debug_sid(tmp)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # lost the race to a concurrent builder, or a stale/partial
+            # `root` from an interrupted build: keep whoever has a
+            # manifest, else replace the partial dir
+            if not os.path.exists(os.path.join(root,
+                                               "manifest_sid_debug.json")):
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(tmp, root)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
         logging.getLogger(__name__).info(
             "DEBUG_SID_ROOT unset — generated synthetic debug fixtures "
             "at %s", root)

@@ -155,6 +155,7 @@ class Trainer:
             betas=tuple(optim_opt.pop("betas", (0.9, 0.999))),
             weight_decay=float(optim_opt.pop("weight_decay", 0.01)),
             use_grad_clip=bool(train_opt.get("use_grad_clip", True)),
+            accum_steps=int(train_opt.get("accum_steps", 1)),
         )
 
         sample = jnp.zeros((1, 64, 64, net_opt.get("in_channels", 3)
@@ -193,8 +194,7 @@ class Trainer:
                 self.start_iter = int(jax.device_get(self.state.step))
                 self.logger.info("auto-resumed at iter %d", self.start_iter)
         if self._zero1_shardings is not None:
-            self.state = jax.tree_util.tree_map(
-                jax.device_put, self.state, self._zero1_shardings)
+            self.state = jax.device_put(self.state, self._zero1_shardings)
         else:
             self.state = put_replicated(self.state, self.mesh)
 

@@ -1,10 +1,18 @@
 #!/bin/bash
 # Watch for the axon TPU tunnel to recover, then run the one-shot perf
-# measurement session. Logs to /tmp/wait_and_measure.log.
+# measurement session. Redirect stdout/stderr to a log when launching,
+# e.g.:  setsid nohup tools/wait_and_measure.sh > /tmp/watch.log 2>&1 &
 cd /root/repo
-echo "$(date) watcher started" 
+echo "$(date) watcher started"
 while true; do
-  if timeout 300 python -c "import jax; d=jax.devices(); assert d" 2>/dev/null; then
+  # require an actual non-CPU device: if the axon plugin fails fast JAX
+  # falls back to the CPU backend, which must NOT trigger the session
+  if timeout 300 python -c "
+import jax
+d = jax.devices()
+assert d and d[0].platform != 'cpu', d
+print('probe saw', d[0])
+" 2>/dev/null; then
     echo "$(date) tunnel UP — starting perf_session"
     break
   fi
