@@ -43,17 +43,14 @@ def _scan(folder: str) -> Dict[str, str]:
 
 
 def _read_float01(path: str) -> np.ndarray:
-    import cv2
+    from lowlight_image_enhancement_tpu.utils import imgio
 
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise FileNotFoundError(path)
+    img = imgio.imread(path)
     if img.ndim == 2:
         img = img[..., None]
     if img.shape[-1] >= 3:
-        img = img[..., :3][..., ::-1]  # BGR -> RGB
-    maxv = 65535.0 if img.dtype == np.uint16 else 255.0
-    return np.ascontiguousarray(img.astype(np.float32) / maxv)
+        img = img[..., :3]
+    return np.ascontiguousarray(imgio.to_float01(img))
 
 
 def paired_paths_from_meta_info_file(

@@ -120,22 +120,18 @@ def decode_png_uint16(buf: bytes) -> Img:
     """Decode a (possibly 16-bit) PNG byte buffer to RGB uint16 HWC.
 
     Mirrors reference ``_load_png_uint16`` (``sony_sid_lmdb_dataset.py:
-    38-56``): uint8 images are promoted x257 to the uint16 scale; channel
-    order converted BGR->RGB (cv2 convention).
+    38-56``): uint8 images are promoted x257 to the uint16 scale. Decodes
+    via :mod:`..utils.imgio` (native PNG codec / cv2 / PIL), which returns
+    RGB directly — no BGR swap needed here.
     """
-    import cv2
+    from lowlight_image_enhancement_tpu.utils import imgio
 
-    arr = np.frombuffer(buf, dtype=np.uint8)
-    img = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise ValueError("PNG decode failed")
+    img = imgio.imdecode(bytes(buf))
     if img.ndim == 2:
         img = img[..., None].repeat(3, axis=-1)
     if img.dtype == np.uint8:
         img = img.astype(np.uint16) * 257
-    if img.shape[-1] == 3:
-        img = img[..., ::-1]  # BGR -> RGB
-    return np.ascontiguousarray(img)
+    return np.ascontiguousarray(img[..., :3])
 
 
 def uint16_to_float01(img: Img) -> Img:

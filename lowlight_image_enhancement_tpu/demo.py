@@ -24,24 +24,19 @@ from lowlight_image_enhancement_tpu.training.validation import tiled_inference
 
 def read_image(path: str) -> np.ndarray:
     """-> float32 [0,1] NHWC (N=1), RGB."""
-    import cv2
+    from lowlight_image_enhancement_tpu.utils import imgio
 
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise FileNotFoundError(path)
+    img = imgio.imread(path)
     if img.ndim == 2:
         img = img[..., None].repeat(3, -1)
-    img = img[..., :3][..., ::-1]  # BGR -> RGB
-    maxv = 65535.0 if img.dtype == np.uint16 else 255.0
-    return (img.astype(np.float32) / maxv)[None]
+    return imgio.to_float01(img[..., :3])[None]
 
 
 def write_image(path: str, img: np.ndarray) -> None:
-    """NHWC float [0,1] -> 8-bit PNG (BGR on disk)."""
-    import cv2
+    """NHWC float [0,1] -> 8-bit PNG."""
+    from lowlight_image_enhancement_tpu.utils import imgio
 
-    arr = np.clip(np.asarray(img)[0], 0, 1)
-    cv2.imwrite(path, (arr[..., ::-1] * 255.0 + 0.5).astype(np.uint8))
+    imgio.imwrite(path, imgio.to_uint8(np.asarray(img)[0]))
 
 
 def main() -> None:

@@ -124,15 +124,12 @@ def compute_metrics(
 
 
 def save_result_image(path: str, img: Array) -> None:
-    """Write an NHWC float [0,1] result as an 8-bit PNG (BGR on disk)."""
-    import os
-
-    import cv2
+    """Write an NHWC float [0,1] result as an 8-bit PNG."""
     import numpy as np
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arr = np.clip(np.asarray(img)[0], 0.0, 1.0)
-    cv2.imwrite(path, (arr[..., ::-1] * 255.0 + 0.5).astype("uint8"))
+    from lowlight_image_enhancement_tpu.utils import imgio
+
+    imgio.imwrite(path, imgio.to_uint8(np.asarray(img)[0]))
 
 
 def validate(

@@ -19,8 +19,13 @@ Differences from the reference, by design:
 - The similarity transform is an in-house Umeyama solve
   (:func:`estimate_similarity`) replacing
   ``skimage.transform.SimilarityTransform`` — same least-squares estimate.
-- Warping/blending use cv2 exactly as the reference does, so crops and
-  paste-backs are pixel-comparable.
+- Warping/blending go through :mod:`.imgproc` (cv2 when importable,
+  numpy/scipy with cv2-matched conventions otherwise), and image I/O
+  through :mod:`.imgio` — no hard cv2 dependency.
+- **Everything is RGB**, including restored faces and the returned
+  composite. The reference composites in BGR purely as a cv2-convention
+  artifact (``face_util.py:180-186``); this framework's tensor->image
+  path is RGB throughout, so the helper is too.
 """
 
 from __future__ import annotations
@@ -132,12 +137,14 @@ class FaceRestorationHelper:
 
     # -- detection -------------------------------------------------------
     def read_input_image(self, img_path: str) -> None:
-        import cv2
+        from lowlight_image_enhancement_tpu.utils import imgio
 
-        bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
-        if bgr is None:
-            raise FileNotFoundError(img_path)
-        self.input_img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        img = imgio.imread(img_path)
+        if img.dtype == np.uint16:
+            img = (img // 257).astype(np.uint8)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, -1)
+        self.input_img = np.ascontiguousarray(img[..., :3])
 
     def set_input_image(self, img_rgb: np.ndarray) -> None:
         """Array-input alternative to :meth:`read_input_image`."""
@@ -173,18 +180,18 @@ class FaceRestorationHelper:
                         ) -> None:
         """Estimate per-face affines, warp-crop faces, and the inverse
         affines for paste-back (reference ``face_util.py:139-174``)."""
-        import cv2
+        from lowlight_image_enhancement_tpu.utils import imgio, imgproc
 
         for idx, landmark in enumerate(self.all_landmarks_5):
             affine = estimate_similarity(landmark, self.face_template)
             self.affine_matrices.append(affine)
-            cropped = cv2.warpAffine(self.input_img, affine, self.face_size)
+            cropped = imgproc.warp_affine(self.input_img, affine,
+                                          self.face_size)
             self.cropped_faces.append(cropped)
             if save_cropped_path is not None:
                 path, ext = os.path.splitext(save_cropped_path)
                 ext = ".png" if self.save_png else ext
-                cv2.imwrite(f"{path}_{idx:02d}{ext}",
-                            cv2.cvtColor(cropped, cv2.COLOR_RGB2BGR))
+                imgio.imwrite(f"{path}_{idx:02d}{ext}", cropped)
             inverse = estimate_similarity(
                 self.face_template, landmark * self.upscale_factor)
             self.inverse_affine_matrices.append(inverse)
@@ -193,10 +200,9 @@ class FaceRestorationHelper:
                 np.save(f"{path}_{idx:02d}.npy", inverse)
 
     def add_restored_face(self, face: np.ndarray) -> None:
-        """Queue a restored face for paste-back. NOTE: like the reference
-        pipeline, the composite operates in **BGR** (restored faces come
-        from ``tensor2img(..., rgb2bgr=True)``) while ``cropped_faces`` are
-        RGB — pass BGR here (``face_util.py:176-186``)."""
+        """Queue a restored face for paste-back — **RGB**, same order as
+        ``cropped_faces`` (deviation from the reference, whose composite
+        is BGR as a cv2 artifact; ``face_util.py:176-186``)."""
         self.restored_faces.append(np.asarray(face))
 
     # -- compositing -----------------------------------------------------
@@ -204,23 +210,24 @@ class FaceRestorationHelper:
                                    ) -> np.ndarray:
         """Inverse-warp restored faces over the upscaled input with an
         eroded, Gaussian-feathered mask (reference ``face_util.py:180-215``).
-        Returns the composite (uint8, BGR like the reference's output)."""
-        import cv2
+        Returns the composite (uint8, **RGB**; the reference returns BGR)."""
+        from lowlight_image_enhancement_tpu.utils import imgio, imgproc
 
-        input_img = cv2.cvtColor(self.input_img, cv2.COLOR_RGB2BGR)
-        h, w, _ = input_img.shape
+        h, w, _ = self.input_img.shape
         h_up, w_up = h * self.upscale_factor, w * self.upscale_factor
-        upsample_img = cv2.resize(input_img, (w_up, h_up)).astype(np.float32)
+        upsample_img = imgproc.resize_bilinear(
+            self.input_img, (w_up, h_up)).astype(np.float32)
         if len(self.restored_faces) != len(self.inverse_affine_matrices):
             raise ValueError(
                 "length of restored_faces and affine_matrices differ")
         for restored, inverse in zip(self.restored_faces,
                                      self.inverse_affine_matrices):
-            inv_restored = cv2.warpAffine(restored, inverse, (w_up, h_up))
+            inv_restored = imgproc.warp_affine(restored, inverse,
+                                               (w_up, h_up))
             mask = np.ones((*self.face_size, 3), dtype=np.float32)
-            inv_mask = cv2.warpAffine(mask, inverse, (w_up, h_up))
+            inv_mask = imgproc.warp_affine(mask, inverse, (w_up, h_up))
             k = 2 * self.upscale_factor
-            inv_mask_erosion = cv2.erode(inv_mask, np.ones((k, k), np.uint8))
+            inv_mask_erosion = imgproc.erode(inv_mask, k)
             inv_restored = inv_mask_erosion * inv_restored
             total_face_area = np.sum(inv_mask_erosion) // 3
             # fusion edge width scales with the face area (reference
@@ -228,10 +235,8 @@ class FaceRestorationHelper:
             w_edge = int(total_face_area ** 0.5) // 20
             if w_edge > 0:
                 r = w_edge * 2
-                inv_mask_center = cv2.erode(inv_mask_erosion,
-                                            np.ones((r, r), np.uint8))
-                inv_soft_mask = cv2.GaussianBlur(inv_mask_center,
-                                                 (r + 1, r + 1), 0)
+                inv_mask_center = imgproc.erode(inv_mask_erosion, r)
+                inv_soft_mask = imgproc.gaussian_blur(inv_mask_center, r + 1)
             else:
                 inv_soft_mask = inv_mask_erosion
             upsample_img = (inv_soft_mask * inv_restored
@@ -241,7 +246,7 @@ class FaceRestorationHelper:
             if self.save_png:
                 save_path = (save_path.replace(".jpg", ".png")
                              .replace(".jpeg", ".png"))
-            cv2.imwrite(save_path, out)
+            imgio.imwrite(save_path, out)
         return out
 
     def clean_all(self) -> None:

@@ -97,9 +97,9 @@ class TestSaveImg:
         path = str(tmp_path / "sub" / "out.png")
         save_result_image(path, img)
         assert os.path.exists(path)
-        import cv2
+        from lowlight_image_enhancement_tpu.utils import imgio
 
-        back = cv2.imread(path)
+        back = imgio.imread(path)
         assert back.shape == (8, 8, 3)
 
     def test_validate_writes_images(self, tmp_path, rng):

@@ -60,17 +60,17 @@ class TestFrameIndices:
 class TestVideoDataset:
     @pytest.fixture
     def video_root(self, tmp_path, rng):
-        import cv2
+        from lowlight_image_enhancement_tpu.utils import imgio
 
         for clip in ("clip_a", "clip_b"):
             for sub in ("gt", "lq"):
                 os.makedirs(tmp_path / sub / clip)
             for fi in range(6):
                 img = rng.integers(0, 255, (24, 24, 3)).astype("uint8")
-                cv2.imwrite(str(tmp_path / "gt" / clip /
-                                f"{fi:08d}.png"), img)
-                cv2.imwrite(str(tmp_path / "lq" / clip /
-                                f"{fi:08d}.png"), img // 2)
+                imgio.imwrite(str(tmp_path / "gt" / clip /
+                                  f"{fi:08d}.png"), img)
+                imgio.imwrite(str(tmp_path / "lq" / clip /
+                                  f"{fi:08d}.png"), img // 2)
         return tmp_path
 
     def test_item_protocol(self, video_root):

@@ -47,15 +47,14 @@ class TestCliMains:
         test_cli.main()  # runs validation on datasets.val
 
     def test_demo_main(self, debug_env, tmp_path, monkeypatch):
-        import cv2
-
         from lowlight_image_enhancement_tpu import demo as demo_cli
+        from lowlight_image_enhancement_tpu.utils import imgio
 
         rng = np.random.default_rng(0)
         inp = tmp_path / "in.png"
         out = tmp_path / "out.png"
-        cv2.imwrite(str(inp),
-                    rng.integers(0, 255, (48, 48, 3)).astype("uint8"))
+        imgio.imwrite(str(inp),
+                      rng.integers(0, 255, (48, 48, 3)).astype("uint8"))
         monkeypatch.setattr(sys, "argv", [
             "demo", "-opt",
             str(CONFIGS / "debug" / "sid_newbp_mono_debug.yml"),
@@ -64,7 +63,7 @@ class TestCliMains:
         ])
         demo_cli.main()
         assert out.exists()
-        back = cv2.imread(str(out))
+        back = imgio.imread(str(out))
         assert back.shape == (48, 48, 3)
 
 
@@ -94,10 +93,10 @@ class TestStereoDemo:
     def test_demo_ssr_main(self, tmp_path, monkeypatch):
         """Stereo demo entry (reference ``basicsr/demo_ssr.py``): left +
         right in, restored left + right out."""
-        import cv2
         import yaml
 
         from lowlight_image_enhancement_tpu import demo_ssr as ssr_cli
+        from lowlight_image_enhancement_tpu.utils import imgio
 
         cfg = {
             "name": "ssr_demo_test",
@@ -116,10 +115,10 @@ class TestStereoDemo:
         rng = np.random.default_rng(0)
         lp, rp = tmp_path / "l.png", tmp_path / "r.png"
         ol, orr = tmp_path / "ol.png", tmp_path / "or.png"
-        cv2.imwrite(str(lp),
-                    rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
-        cv2.imwrite(str(rp),
-                    rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
+        imgio.imwrite(str(lp),
+                      rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
+        imgio.imwrite(str(rp),
+                      rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
         monkeypatch.setattr(sys, "argv", [
             "demo_ssr", "-opt", str(cfg_path),
             "--input_l_path", str(lp), "--input_r_path", str(rp),
@@ -127,7 +126,7 @@ class TestStereoDemo:
         ])
         ssr_cli.main()
         assert ol.exists() and orr.exists()
-        assert cv2.imread(str(ol)).shape == (32, 32, 3)
+        assert imgio.imread(str(ol)).shape == (32, 32, 3)
 
 
 class TestFlagshipConfigStance:

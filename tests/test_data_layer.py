@@ -252,13 +252,13 @@ class TestMetaInfoAndFFHQ:
     — VERDICT r1 missing #6)."""
 
     def _write_pngs(self, folder, names, rng, size=16):
-        import cv2
+        from lowlight_image_enhancement_tpu.utils import imgio
 
         os.makedirs(folder, exist_ok=True)
         for n in names:
-            cv2.imwrite(os.path.join(folder, n),
-                        rng.integers(0, 255, (size, size, 3)).astype(
-                            "uint8"))
+            imgio.imwrite(os.path.join(folder, n),
+                          rng.integers(0, 255, (size, size, 3)).astype(
+                              "uint8"))
 
     def test_paired_paths_from_meta_info_file(self, tmp_path, rng):
         from lowlight_image_enhancement_tpu.data.paired_image_dataset import (

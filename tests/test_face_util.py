@@ -4,7 +4,8 @@ Reference behaviours under test: ``FaceRestorationHelper``
 (``NAFNet_base/basicsr/utils/face_util.py:22-223``) — 5-landmark Umeyama
 alignment to the FFHQ template, warp-crop, and the eroded+feathered
 paste-back. Detection is pluggable here (no dlib in this environment), so
-the tests inject landmarks directly.
+the tests inject landmarks directly. Runs with or without cv2 — the image
+ops come from ``utils.imgproc``.
 """
 
 import numpy as np
@@ -15,8 +16,6 @@ from lowlight_image_enhancement_tpu.utils.face_util import (
     FaceRestorationHelper,
     estimate_similarity,
 )
-
-cv2 = pytest.importorskip("cv2")
 
 
 def _apply(affine, pts):
@@ -86,14 +85,13 @@ class TestFaceRestorationHelper:
 
         # identity restorer: paste-back must reproduce the input inside
         # the face region (up to warp interpolation at the mask edge).
-        # Restored faces are BGR (reference tensor2img contract).
-        helper.add_restored_face(crop[..., ::-1])
-        out_bgr = helper.paste_faces_to_input_image()
-        ref_bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        # Restored faces and the composite are RGB.
+        helper.add_restored_face(crop)
+        out = helper.paste_faces_to_input_image()
         center = _apply(affine, np.array([[64.0, 64.0]]))[0].astype(int)
         region = (slice(center[1] - 10, center[1] + 10),
                   slice(center[0] - 10, center[0] + 10))
-        diff = np.abs(out_bgr[region].astype(int) - ref_bgr[region].astype(int))
+        diff = np.abs(out[region].astype(int) - img[region].astype(int))
         assert diff.mean() < 8.0
 
     def test_upscale_paste_shape(self):

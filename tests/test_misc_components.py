@@ -141,20 +141,19 @@ class TestNAFSSR:
 
 class TestPairedDataset:
     def test_paired_folder_roundtrip(self, tmp_path, rng):
-        import cv2
-
         from lowlight_image_enhancement_tpu.data import (
             PairedImageDataset,
             SingleImageDataset,
             create_dataset,
         )
+        from lowlight_image_enhancement_tpu.utils import imgio
 
         for sub in ("gt", "lq"):
             os.makedirs(tmp_path / sub)
         for i in range(3):
             img = (rng.uniform(0, 255, (24, 24, 3))).astype(np.uint8)
-            cv2.imwrite(str(tmp_path / "gt" / f"im{i}.png"), img)
-            cv2.imwrite(str(tmp_path / "lq" / f"im{i}.png"), img // 2)
+            imgio.imwrite(str(tmp_path / "gt" / f"im{i}.png"), img)
+            imgio.imwrite(str(tmp_path / "lq" / f"im{i}.png"), img // 2)
 
         ds = create_dataset({
             "type": "PairedImageDataset",

@@ -15,7 +15,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 
 @pytest.fixture(scope="module")
 def png_tree(tmp_path_factory):
-    import cv2
+    from lowlight_image_enhancement_tpu.utils import imgio
 
     root = tmp_path_factory.mktemp("sid_png")
     rng = np.random.default_rng(0)
@@ -24,11 +24,11 @@ def png_tree(tmp_path_factory):
     # SID naming: <id>_<seq>_<exposure>s.png
     for pid in ("00001", "00002", "00003"):
         long_img = rng.integers(0, 65535, (64, 64, 3)).astype(np.uint16)
-        cv2.imwrite(str(root / "long" / f"{pid}_00_10s.png"), long_img)
+        imgio.imwrite(str(root / "long" / f"{pid}_00_10s.png"), long_img)
         for seq, expo in (("00", "0.1s"), ("01", "0.04s")):
             short = (long_img // 100).astype(np.uint16)
-            cv2.imwrite(str(root / "short" / f"{pid}_{seq}_{expo}.png"),
-                        short)
+            imgio.imwrite(str(root / "short" / f"{pid}_{seq}_{expo}.png"),
+                          short)
     return root
 
 

@@ -23,8 +23,7 @@ def main() -> None:
             "rawpy is required for RAW conversion; run this tool on a "
             "data-prep host with `rawpy` installed."
         )
-    import cv2
-    import numpy as np
+    from lowlight_image_enhancement_tpu.utils import imgio
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -46,7 +45,7 @@ def main() -> None:
                     output_bps=16,
                 )
             out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".png")
-            cv2.imwrite(out_path, rgb[..., ::-1])  # RGB -> BGR on disk
+            imgio.imwrite(out_path, rgb)  # 16-bit PNG, RGB
             if (i + 1) % 50 == 0:
                 print(f"{split}: {i + 1}/{len(names)}")
         print(f"{split}: converted {len(names)} files -> {out_dir}")

@@ -170,7 +170,19 @@ def main() -> None:
               f"-> {args.output}")
         return
 
-    import cv2
+    from lowlight_image_enhancement_tpu.utils import imgio
+
+    def _read_gray(path):
+        try:
+            img = imgio.imread(path)
+        except (OSError, ValueError):
+            return None
+        if img.dtype == np.uint16:
+            img = (img / 257.0).round().astype(np.uint8)
+        if img.ndim == 3:  # BT.601 luma, like cv2.IMREAD_GRAYSCALE
+            img = np.round(img[..., :3].astype(np.float64)
+                           @ [0.299, 0.587, 0.114]).astype(np.uint8)
+        return img
 
     if args.bundled_photos:
         paths = collect_bundled_photos()
@@ -186,7 +198,7 @@ def main() -> None:
             "provide --images DIR, --bundled-photos, or --synthetic N")
     all_feats = []
     for path in paths:
-        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        img = _read_gray(path)
         if img is None:
             continue
         try:
