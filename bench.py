@@ -158,7 +158,52 @@ def measure_train(use_perc: bool) -> float:
     return measure_train_inprocess(use_perc)
 
 
+def _probe_backend(attempts: int = 3, timeout_s: float = 240.0):
+    """Bounded check that a JAX backend is actually reachable.
+
+    A dead hosted-TPU tunnel makes backend init HANG (not error), which
+    would leave the driver's bench invocation wedged with no JSON line
+    ever printed. Probe in a subprocess with a hard timeout — generous,
+    because a recovering tunnel can take minutes on the first contact
+    after an outage. Returns the platform string or None.
+    """
+    code = (
+        "import os, jax\n"
+        "if os.environ.get('LLIE_BENCH_FORCE_CPU'):\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "print(jax.devices()[0].platform, flush=True)\n"
+    )
+    for _ in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if p.returncode == 0 and p.stdout.strip():
+                return p.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            continue
+    return None
+
+
 def main() -> None:
+    if _probe_backend() is None:
+        # Still emit the contract's single JSON line; an honest zero with
+        # an error note beats a driver-side hang/timeout with no record.
+        print(json.dumps({
+            "metric": "sid512_train_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "steps/s (batch 2, 512^2, bf16, FULL recipe incl. "
+                    "VGG19 perceptual)",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": "no JAX backend reachable (TPU tunnel down?) — "
+                         "backend init hung past the probe timeout; "
+                         "measurement impossible this run",
+            },
+        }))
+        return
+
     from lowlight_image_enhancement_tpu.losses import HybridLossPlus
     from lowlight_image_enhancement_tpu.metrics.inference_time import (
         measure_inference_time,

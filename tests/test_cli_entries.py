@@ -209,6 +209,43 @@ class TestBenchTrainProbe:
                             lambda use_perc, runs=20: 0.111)
         assert bench.measure_train(use_perc=False) == 0.111
 
+    def test_backend_probe_parses_platform(self, monkeypatch):
+        bench = self._bench()
+
+        class FakeProc:
+            returncode = 0
+            stdout = "warnings...\ncpu\n"
+            stderr = ""
+
+        monkeypatch.setattr(bench.subprocess, "run",
+                            lambda *a, **k: FakeProc())
+        assert bench._probe_backend(attempts=1) == "cpu"
+
+    def test_backend_probe_timeout_returns_none(self, monkeypatch):
+        bench = self._bench()
+
+        def hang(*a, **k):
+            raise bench.subprocess.TimeoutExpired(cmd="python", timeout=1)
+
+        monkeypatch.setattr(bench.subprocess, "run", hang)
+        assert bench._probe_backend(attempts=2, timeout_s=1) is None
+
+    def test_dead_backend_still_emits_json_line(self, monkeypatch, capsys):
+        """A dead tunnel hangs backend init forever; bench must detect it
+        via the bounded probe and still print the one-line JSON contract
+        instead of wedging the driver."""
+        import json
+
+        bench = self._bench()
+        monkeypatch.setattr(bench, "_probe_backend", lambda **k: None)
+        bench.main()
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        rec = json.loads(out[0])
+        assert rec["metric"] == "sid512_train_steps_per_sec_per_chip"
+        assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+        assert "no JAX backend reachable" in rec["detail"]["error"]
+
 
 class TestDebugRootAutoProvision:
     def test_unset_debug_sid_root_self_provisions(self, monkeypatch,
