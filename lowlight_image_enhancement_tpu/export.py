@@ -83,12 +83,17 @@ def export_model(
     batch: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
     network_opt: Optional[dict] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> str:
     """Serialize the clipped forward at each static bucket shape.
 
     ``platforms`` lists every backend the artifact must run on
     (multi-platform lowering; ``cpu`` included by default so artifacts are
-    smoke-testable off-chip). Returns ``out_dir``.
+    smoke-testable off-chip). With ``mesh`` (a 1-D data mesh) the export
+    is SHARDED: params replicated, batch split over the mesh axis — the
+    artifact then requires exactly ``mesh.size`` devices at load time and
+    serves multi-chip batches with no Python model code. Returns
+    ``out_dir``.
     """
     from jax import export as jexport
 
@@ -96,6 +101,24 @@ def export_model(
 
     def forward(p, x):
         return jnp.clip(net.apply({"params": p}, x), 0.0, 1.0)
+
+    mesh_axis = None
+    if mesh is not None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(f"export needs a 1-D mesh, got {mesh.shape}")
+        mesh_axis = mesh.axis_names[0]
+        if batch % mesh.size:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh size {mesh.size}")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        bsh = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        params_shardings = jax.tree.map(lambda _: rep, params)
+        jit_fwd = jax.jit(forward, in_shardings=(params_shardings, bsh),
+                          out_shardings=bsh)
+    else:
+        jit_fwd = jax.jit(forward)
 
     flat = flatten_params(params)
     np.savez(os.path.join(out_dir, "params.npz"), **flat)
@@ -106,9 +129,7 @@ def export_model(
 
     bucket_files = {}
     for h, w in buckets:
-        exp = jexport.export(
-            jax.jit(forward), platforms=tuple(platforms)
-        )(
+        exp = jexport.export(jit_fwd, platforms=tuple(platforms))(
             params_spec,
             jax.ShapeDtypeStruct((batch, int(h), int(w), 3), jnp.float32),
         )
@@ -126,6 +147,8 @@ def export_model(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "network_opt": network_opt or {},
+        "mesh": ({"axis": mesh_axis, "size": int(mesh.size)}
+                 if mesh is not None else None),
         "io": "forward(params, x[B,H,W,3] float32 RGB [0,1]) -> "
               "float32 clipped [0,1]",
     }
@@ -159,6 +182,24 @@ class ExportedModel:
         self.batch = int(self.manifest["batch"])
         flat = dict(np.load(os.path.join(path, "params.npz")))
         self.params = unflatten_params(flat)
+        self.mesh = None
+        self._batch_sharding = None
+        mesh_info = self.manifest.get("mesh")
+        if mesh_info:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n = int(mesh_info["size"])
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"sharded export needs {n} devices, "
+                    f"{len(jax.devices())} visible")
+            axis = mesh_info["axis"]
+            self.mesh = jax.make_mesh((n,), (axis,))
+            self._batch_sharding = NamedSharding(
+                self.mesh, PartitionSpec(axis))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.params = jax.device_put(
+                self.params, jax.tree.map(lambda _: rep, self.params))
         self._fns: Dict[Tuple[int, int], Any] = {}
         for key, fname in self.manifest["bucket_files"].items():
             h, w = map(int, key.split("x"))
@@ -181,6 +222,12 @@ class ExportedModel:
             )
         return min(fits, key=lambda b: b[0] * b[1])
 
+    def _call(self, bucket: Tuple[int, int], x: np.ndarray) -> np.ndarray:
+        xj = jnp.asarray(x)
+        if self._batch_sharding is not None:
+            xj = jax.device_put(xj, self._batch_sharding)
+        return np.asarray(self._fns[bucket].call(self.params, xj))
+
     def predict(self, img: np.ndarray) -> np.ndarray:
         """float [0,1] HWC RGB -> restored float32 HWC, same H x W."""
         img = np.asarray(img, np.float32)
@@ -190,5 +237,25 @@ class ExportedModel:
         bh, bw = self._pick_bucket(h, w)
         x = np.zeros((self.batch, bh, bw, 3), np.float32)
         x[0, :h, :w, :] = img
-        y = self._fns[(bh, bw)].call(self.params, jnp.asarray(x))
-        return np.asarray(y)[0, :h, :w, :]
+        return self._call((bh, bw), x)[0, :h, :w, :]
+
+    def predict_batch(self, imgs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Serve many images, packing ``batch`` per call (one shared
+        bucket per chunk — the bucket that fits the chunk's largest)."""
+        imgs = [np.asarray(im, np.float32) for im in imgs]
+        out: List[np.ndarray] = []
+        for start in range(0, len(imgs), self.batch):
+            chunk = imgs[start : start + self.batch]
+            bh, bw = self._pick_bucket(
+                max(im.shape[0] for im in chunk),
+                max(im.shape[1] for im in chunk),
+            )
+            x = np.zeros((self.batch, bh, bw, 3), np.float32)
+            for i, im in enumerate(chunk):
+                x[i, : im.shape[0], : im.shape[1], :] = im
+            y = self._call((bh, bw), x)
+            out.extend(
+                y[i, : im.shape[0], : im.shape[1], :]
+                for i, im in enumerate(chunk)
+            )
+        return out

@@ -117,3 +117,58 @@ def test_format_version_guard(export_dir, tmp_path):
     mpath.write_text(json.dumps(manifest))
     with pytest.raises(ValueError, match="unsupported export format"):
         ExportedModel(str(bad))
+
+
+class TestShardedExport:
+    """Sharded (multi-chip) export over the 8-device virtual mesh."""
+
+    @pytest.fixture(scope="class")
+    def sharded_dir(self, tiny_net_params, tmp_path_factory):
+        net, params = tiny_net_params
+        mesh = jax.make_mesh((8,), ("data",))
+        out = str(tmp_path_factory.mktemp("exported_sharded"))
+        export_model(net, params, out, buckets=[(32, 32)], batch=8,
+                     platforms=("cpu",), network_opt=TINY, mesh=mesh)
+        return out
+
+    def test_manifest_records_mesh(self, sharded_dir):
+        with open(os.path.join(sharded_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["mesh"] == {"axis": "data", "size": 8}
+        assert manifest["batch"] == 8
+
+    def test_sharded_predict_batch_matches_live(self, sharded_dir,
+                                                tiny_net_params):
+        net, params = tiny_net_params
+        model = ExportedModel(sharded_dir)
+        assert model.mesh is not None and model.mesh.size == 8
+        rng = np.random.default_rng(7)
+        imgs = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+                for _ in range(8)]
+        got = model.predict_batch(imgs)
+        x = jnp.asarray(np.stack(imgs))
+        want = np.asarray(
+            jnp.clip(net.apply({"params": params}, x), 0.0, 1.0))
+        assert len(got) == 8
+        np.testing.assert_allclose(np.stack(got), want, atol=1e-5)
+
+    def test_batch_not_divisible_by_mesh_rejected(self, tiny_net_params,
+                                                  tmp_path):
+        net, params = tiny_net_params
+        mesh = jax.make_mesh((8,), ("data",))
+        with pytest.raises(ValueError, match="not divisible by mesh"):
+            export_model(net, params, str(tmp_path), buckets=[(32, 32)],
+                         batch=4, platforms=("cpu",), mesh=mesh)
+
+
+def test_predict_batch_unsharded_chunks(export_dir, tiny_net_params):
+    """predict_batch packs into batch-1 calls and preserves per-image
+    shapes across mixed sizes (both buckets exercised)."""
+    model = ExportedModel(export_dir)
+    rng = np.random.default_rng(9)
+    imgs = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32),
+            rng.uniform(0, 1, (30, 40, 3)).astype(np.float32),
+            rng.uniform(0, 1, (60, 44, 3)).astype(np.float32)]
+    outs = model.predict_batch(imgs)
+    assert [o.shape for o in outs] == [im.shape for im in imgs]
+    np.testing.assert_allclose(outs[0], model.predict(imgs[0]), atol=1e-6)

@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--buckets", default="256,512")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--platforms", default="tpu,cpu")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the export over an N-device data mesh "
+                         "(0 = unsharded single-device artifact)")
     ap.add_argument("--smoke", action="store_true",
                     help="reload the artifact and parity-check vs live jit")
     args = ap.parse_args()
@@ -77,8 +80,15 @@ def main() -> None:
 
     buckets = _parse_buckets(args.buckets)
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    mesh = None
+    if args.mesh:
+        mesh = jax.make_mesh((args.mesh,), ("data",))
+        if args.batch % args.mesh:
+            raise SystemExit(
+                f"--batch {args.batch} must be divisible by --mesh "
+                f"{args.mesh}")
     export_model(net, params, args.out, buckets=buckets, batch=args.batch,
-                 platforms=platforms, network_opt=network_opt)
+                 platforms=platforms, network_opt=network_opt, mesh=mesh)
     sizes = {
         f: os.path.getsize(os.path.join(args.out, f))
         for f in sorted(os.listdir(args.out))
