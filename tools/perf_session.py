@@ -160,19 +160,26 @@ def main() -> None:
         print(f"profile(perc): ok={ok} {dt}s", flush=True)
 
     if "pipeline" not in skip:
-        pipe_json = os.path.join(ROOT, "pipeline_e2e.json")
-        ok, out, dt = run(
-            [sys.executable, "tools/train_pipeline_e2e.py", "--steps", "100",
-             "--workers", "2", "--json", pipe_json], timeout=args.timeout)
-        try:
-            with open(pipe_json) as f:
-                pipe = json.load(f)
-        except Exception:
-            pipe = None
-        report["pipeline_e2e"] = {"ok": ok, "secs": dt, "json": pipe,
-                                  "tail": None if pipe else out[-2500:]}
-        save(report, args.out)
-        print(f"pipeline_e2e: ok={ok} {dt}s", flush=True)
+        # Two pack codecs: zlib_band (disk-lean; host-measured 52.7
+        # ms/batch on the 1-core tunnel host) and none (raw bands; 15.9
+        # ms/batch — 3.3x, fast enough to keep the chip busy even on one
+        # core). Both measured so the report shows which side bounds wall.
+        for comp in ("none", "zlib_band"):
+            pipe_json = os.path.join(ROOT, f"pipeline_e2e_{comp}.json")
+            ok, out, dt = run(
+                [sys.executable, "tools/train_pipeline_e2e.py",
+                 "--steps", "100", "--workers", "2", "--comp", comp,
+                 "--json", pipe_json], timeout=args.timeout)
+            try:
+                with open(pipe_json) as f:
+                    pipe = json.load(f)
+            except Exception:
+                pipe = None
+            report[f"pipeline_e2e_{comp}"] = {
+                "ok": ok, "secs": dt, "json": pipe,
+                "tail": None if pipe else out[-2500:]}
+            save(report, args.out)
+            print(f"pipeline_e2e[{comp}]: ok={ok} {dt}s", flush=True)
 
     print(json.dumps(report.get("bench", {}).get("json"), indent=None))
 
