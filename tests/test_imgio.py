@@ -87,6 +87,38 @@ class TestPilCrossCheck:
         Image.fromarray(g16).save(bio, format="PNG")
         np.testing.assert_array_equal(imgio.imdecode(bio.getvalue()), g16)
 
+    def test_palette_png_expands_to_rgb(self):
+        from PIL import Image
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        pal = Image.fromarray(img).quantize(colors=16)  # mode P + PLTE
+        bio = io.BytesIO()
+        pal.save(bio, format="PNG")
+        got = decode_png(bio.getvalue())
+        want = np.asarray(pal.convert("RGB"))
+        np.testing.assert_array_equal(got, want)
+
+    def test_interlaced_png_dispatches_to_pil(self, monkeypatch):
+        """PIL cannot WRITE Adam7 files, so craft an interlaced IHDR by
+        hand and assert the native parser routes it to the PIL decoder
+        rather than misreading the non-sequential scanlines."""
+        import struct
+        import zlib
+
+        sentinel = np.zeros((1, 1, 3), np.uint8)
+        monkeypatch.setattr(imgio, "_decode_via_pil", lambda b: sentinel)
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", crc))
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+        buf = (imgio._PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"\x00") + chunk(b"IEND", b""))
+        assert decode_png(buf) is sentinel
+
 
 class TestDefilterParity:
     """The pure-Python defilter must agree with the C one on every
