@@ -159,31 +159,14 @@ def measure_train(use_perc: bool) -> float:
 
 
 def _probe_backend(attempts: int = 3, timeout_s: float = 240.0):
-    """Bounded check that a JAX backend is actually reachable.
-
-    A dead hosted-TPU tunnel makes backend init HANG (not error), which
-    would leave the driver's bench invocation wedged with no JSON line
-    ever printed. Probe in a subprocess with a hard timeout — generous,
-    because a recovering tunnel can take minutes on the first contact
-    after an outage. Returns the platform string or None.
-    """
-    code = (
-        "import os, jax\n"
-        "if os.environ.get('LLIE_BENCH_FORCE_CPU'):\n"
-        "    jax.config.update('jax_platforms', 'cpu')\n"
-        "print(jax.devices()[0].platform, flush=True)\n"
+    """Bounded backend-reachability check (see utils/backend_probe.py):
+    a dead tunnel hangs backend init, which would leave the driver's
+    bench invocation wedged with no JSON line ever printed."""
+    from lowlight_image_enhancement_tpu.utils.backend_probe import (
+        probe_backend,
     )
-    for _ in range(attempts):
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            if p.returncode == 0 and p.stdout.strip():
-                return p.stdout.strip().splitlines()[-1]
-        except subprocess.TimeoutExpired:
-            continue
-    return None
+
+    return probe_backend(attempts=attempts, timeout_s=timeout_s)
 
 
 def main() -> None:
@@ -350,7 +333,7 @@ def main() -> None:
                 "images_per_sec": round(dp_sps * 2 * ndev, 2),
             }
     except Exception as e:  # protect the headline metric, but surface it
-        import sys, traceback
+        import traceback
 
         traceback.print_exc(file=sys.stderr)
         dp = {"error": f"{type(e).__name__}: {e}"}

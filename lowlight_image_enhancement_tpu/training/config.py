@@ -66,19 +66,26 @@ def _default_debug_sid_root() -> str:
         # concurrent parses never see half-written packs
         tmp = f"{root}.build{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        make_debug_sid(tmp)
         try:
-            os.rename(tmp, root)
-        except OSError:
-            # lost the race to a concurrent builder, or a stale/partial
-            # `root` from an interrupted build: keep whoever has a
-            # manifest, else replace the partial dir
-            if not os.path.exists(os.path.join(root,
-                                               "manifest_sid_debug.json")):
-                shutil.rmtree(root, ignore_errors=True)
+            make_debug_sid(tmp)
+            try:
                 os.rename(tmp, root)
-            else:
-                shutil.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                # lost the race to a concurrent builder, or a stale/
+                # partial `root` from an interrupted build: keep whoever
+                # has a manifest, else replace the partial dir. The
+                # replacement rename can itself lose a second race —
+                # accept the winner's tree if a manifest appeared.
+                manifest = os.path.join(root, "manifest_sid_debug.json")
+                if not os.path.exists(manifest):
+                    shutil.rmtree(root, ignore_errors=True)
+                    try:
+                        os.rename(tmp, root)
+                    except OSError:
+                        if not os.path.exists(manifest):
+                            raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         logging.getLogger(__name__).info(
             "DEBUG_SID_ROOT unset — generated synthetic debug fixtures "
             "at %s", root)

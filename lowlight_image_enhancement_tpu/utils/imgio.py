@@ -181,6 +181,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         img = out.reshape(height, width, channels)
 
     if colortype == 3:  # palette expand
+        if palette is None:
+            raise ValueError("malformed PNG: palette image without PLTE")
         idx = img[..., 0]
         img = palette[idx]
         if trns is not None:
@@ -238,15 +240,25 @@ def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_CV2_IMPORTABLE: "bool | None" = None
+
+
 def _has_cv2() -> bool:
+    # The env var is re-read every call (tests toggle it at runtime), but
+    # the import probe is cached: a FAILED import is not cached by Python,
+    # so retrying it on every decode would re-scan sys.path per frame on
+    # the cv2-less hot path this module exists for.
     if os.environ.get("LLIE_NO_CV2"):
         return False
-    try:
-        import cv2  # noqa: F401
+    global _CV2_IMPORTABLE
+    if _CV2_IMPORTABLE is None:
+        try:
+            import cv2  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+            _CV2_IMPORTABLE = True
+        except ImportError:
+            _CV2_IMPORTABLE = False
+    return _CV2_IMPORTABLE
 
 
 def imdecode(buf: bytes) -> np.ndarray:
@@ -285,8 +297,13 @@ def imencode(arr: np.ndarray, ext: str = ".png") -> bytes:
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError(f"{ext} encode requires uint8")
+    # PIL format names differ from extensions (.jpg -> JPEG, .tif ->
+    # TIFF); resolve through PIL's own extension registry.
+    fmt = Image.registered_extensions().get(ext)
+    if fmt is None:
+        raise ValueError(f"unsupported image extension: {ext}")
     bio = io.BytesIO()
-    Image.fromarray(arr).save(bio, format=ext.lstrip("."))
+    Image.fromarray(arr).save(bio, format=fmt)
     return bio.getvalue()
 
 

@@ -28,15 +28,26 @@ import os
 import numpy as np
 
 
+_CV2_MOD = None
+_CV2_TRIED = False
+
+
 def _cv2():
+    # Env var re-read per call (tests toggle it); the import probe is
+    # cached because Python does not cache FAILED imports and this runs
+    # several times per face on the cv2-less path.
     if os.environ.get("LLIE_NO_CV2"):
         return None
-    try:
-        import cv2
+    global _CV2_MOD, _CV2_TRIED
+    if not _CV2_TRIED:
+        _CV2_TRIED = True
+        try:
+            import cv2
 
-        return cv2
-    except ImportError:
-        return None
+            _CV2_MOD = cv2
+        except ImportError:
+            _CV2_MOD = None
+    return _CV2_MOD
 
 
 def warp_affine(img: np.ndarray, M: np.ndarray,

@@ -211,23 +211,26 @@ class TestBenchTrainProbe:
 
     def test_backend_probe_parses_platform(self, monkeypatch):
         bench = self._bench()
+        from lowlight_image_enhancement_tpu.utils import backend_probe
 
         class FakeProc:
             returncode = 0
             stdout = "warnings...\ncpu\n"
             stderr = ""
 
-        monkeypatch.setattr(bench.subprocess, "run",
+        monkeypatch.setattr(backend_probe.subprocess, "run",
                             lambda *a, **k: FakeProc())
         assert bench._probe_backend(attempts=1) == "cpu"
 
     def test_backend_probe_timeout_returns_none(self, monkeypatch):
         bench = self._bench()
+        from lowlight_image_enhancement_tpu.utils import backend_probe
 
         def hang(*a, **k):
-            raise bench.subprocess.TimeoutExpired(cmd="python", timeout=1)
+            raise backend_probe.subprocess.TimeoutExpired(
+                cmd="python", timeout=1)
 
-        monkeypatch.setattr(bench.subprocess, "run", hang)
+        monkeypatch.setattr(backend_probe.subprocess, "run", hang)
         assert bench._probe_backend(attempts=2, timeout_s=1) is None
 
     def test_dead_backend_still_emits_json_line(self, monkeypatch, capsys):

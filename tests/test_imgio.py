@@ -170,6 +170,42 @@ class TestIoHelpers:
         assert imgio.to_float01(np.array([255], np.uint8))[0] == 1.0
         assert imgio.to_float01(np.array([65535], np.uint16))[0] == 1.0
 
+    @pytest.mark.parametrize("ext", [".jpg", ".jpeg", ".bmp", ".tif"])
+    def test_imencode_pil_extension_mapping(self, ext, monkeypatch):
+        # PIL format names differ from extensions (JPG is NOT a
+        # registered PIL format); imencode must map through PIL's
+        # extension registry rather than uppercasing the suffix.
+        monkeypatch.setenv("LLIE_NO_CV2", "1")
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+        buf = imgio.imencode(arr, ext)
+        back = imgio.imdecode(buf)
+        assert back.shape == arr.shape and back.dtype == np.uint8
+        if ext == ".bmp":  # lossless
+            np.testing.assert_array_equal(back, arr)
+
+    def test_imencode_unknown_extension_raises(self):
+        with pytest.raises(ValueError, match="extension"):
+            imgio.imencode(np.zeros((4, 4, 3), np.uint8), ".nope")
+
+    def test_palette_png_without_plte_raises_valueerror(self):
+        # colortype-3 PNG whose PLTE chunk is stripped must fail with the
+        # module's ValueError contract, not a TypeError on palette[idx].
+        from PIL import Image
+
+        idx = np.zeros((6, 6), np.uint8)
+        im = Image.fromarray(idx, mode="P")
+        im.putpalette([i for i in range(256) for _ in range(3)])
+        bio = io.BytesIO()
+        im.save(bio, format="PNG")
+        buf = bio.getvalue()
+        # strip the PLTE chunk (length[4] type[4] data[n] crc[4])
+        pos = buf.index(b"PLTE")
+        ln = int.from_bytes(buf[pos - 4:pos], "big")
+        stripped = buf[:pos - 4] + buf[pos + 4 + ln + 4:]
+        with pytest.raises(ValueError, match="PLTE|malformed"):
+            imgio.decode_png(stripped)
+
 
 class TestImgproc:
     def test_warp_identity_and_translation(self):

@@ -31,56 +31,6 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-STEP_SNIPPET = r"""
-import os, sys, time, json
-sys.path.insert(0, %(root)r)
-import jax
-jax.config.update("jax_compilation_cache_dir", %(root)r + "/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-import jax.numpy as jnp
-import numpy as np
-from lowlight_image_enhancement_tpu.losses import HybridLossPlus
-from lowlight_image_enhancement_tpu.models import create_newbp_net
-from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
-from lowlight_image_enhancement_tpu.training import (
-    create_train_state, make_optimizer, make_schedule, make_train_step)
-
-net = create_newbp_net(nafnet_params=dict(
-    img_channel=3, width=32, enc_blk_nums=(2, 2, 4, 8),
-    middle_blk_num=12, dec_blk_nums=(2, 2, 2, 2)), dtype=jnp.bfloat16)
-loss = HybridLossPlus(use_perc=False, use_deltaE=True, use_ssim=False,
-                      physics_psf_module=create_crosstalk_psf("mono", "P2"))
-tx = make_optimizer(make_schedule(
-    {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
-    base_lr=5e-4))
-state = create_train_state(net, tx, jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3)), loss=loss)
-step = make_train_step(net, loss, tx, donate=True)
-rng = np.random.default_rng(0)
-n, s = 2, 512
-short_raw = rng.uniform(0, 0.2, (n, s, s, 3)).astype(np.float32)
-ratio = np.full((n,), 5.0, np.float32)
-lq = np.clip(short_raw * ratio[:, None, None, None], 0, 1).astype(np.float32)
-gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
-batch = {"lq": jnp.asarray(lq), "gt": jnp.asarray(gt),
-         "short_raw": jnp.asarray(short_raw), "long_raw": jnp.asarray(gt),
-         "short_obs": jnp.asarray(short_raw), "expo_ratio": jnp.asarray(ratio)}
-for _ in range(3):
-    state, logs = step(state, batch)
-jax.block_until_ready(logs["l_total"])
-rounds = []
-for _ in range(2):
-    t0 = time.perf_counter()
-    for _ in range(20):
-        state, logs = step(state, batch)
-    jax.block_until_ready(logs["l_total"])
-    rounds.append((time.perf_counter() - t0) / 20)
-print("RESULT_MS " + json.dumps({
-    "ablate": os.environ.get("LLIE_NAFBLOCK_ABLATE", ""),
-    "ms": round(max(rounds) * 1000, 3),
-    "rounds_ms": [round(r * 1000, 3) for r in rounds]}))
-"""
-
 ABLATIONS = [
     "",              # baseline for subtraction (same process protocol)
     "tapgrads",
@@ -136,15 +86,19 @@ def main() -> None:
 
     if "ablate" not in skip:
         report["ablate"] = []
-        snippet = STEP_SNIPPET % {"root": ROOT}
         for knobs in ABLATIONS:
-            ok, out, dt = run([sys.executable, "-c", snippet],
-                              env_extra={"LLIE_NAFBLOCK_ABLATE": knobs},
-                              timeout=args.timeout)
+            # Reuse bench.py's canonical measurement protocol (fresh
+            # process per config — the ablation knobs are read at trace
+            # time; TRAIN_S is the slower of two 20-step rounds).
+            ok, out, dt = run(
+                [sys.executable, "bench.py", "--train-probe", "noperc"],
+                env_extra={"LLIE_NAFBLOCK_ABLATE": knobs},
+                timeout=args.timeout)
             line = next((ln for ln in out.splitlines()
-                         if ln.startswith("RESULT_MS ")), None)
-            entry = (json.loads(line[len("RESULT_MS "):]) if line
-                     else {"ablate": knobs, "error": out[-1500:]})
+                         if ln.startswith("TRAIN_S ")), None)
+            entry = ({"ablate": knobs,
+                      "ms": round(float(line.split()[1]) * 1000, 3)}
+                     if line else {"ablate": knobs, "error": out[-1500:]})
             entry["secs"] = dt
             report["ablate"].append(entry)
             save(report, args.out)
