@@ -169,10 +169,40 @@ def _probe_backend(attempts: int = 3, timeout_s: float = 240.0):
     return probe_backend(attempts=attempts, timeout_s=timeout_s)
 
 
+_LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_last_good.json")
+
+# Transcribed from the 2026-08-17 pre-outage on-chip runs recorded in
+# BASELINE.md ("Measured (TPU rebuild, round 3)") — used only when no
+# bench_last_good.json artifact exists yet.
+_PRE_OUTAGE_FALLBACK = {
+    "value": 18.7,
+    "vs_baseline": 2.34,
+    "train_step_ms": 53.5,
+    "train_step_ms_no_perc": 33.9,
+    "measured_at": "2026-08-17",
+    "source": "BASELINE.md round-3 section (pre-outage on-chip bench; "
+              "transcribed, not a recorded bench_last_good.json)",
+}
+
+
+def _load_last_good():
+    """Most recent SUCCESSFUL bench result (written by main() on every
+    good run), falling back to the transcribed pre-outage numbers."""
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return dict(_PRE_OUTAGE_FALLBACK)
+
+
 def main() -> None:
     if _probe_backend() is None:
         # Still emit the contract's single JSON line; an honest zero with
         # an error note beats a driver-side hang/timeout with no record.
+        # `last_measured` points the reader at the most recent real
+        # on-chip measurement so a dead tunnel at round end doesn't erase
+        # the framework's actual perf record.
         print(json.dumps({
             "metric": "sid512_train_steps_per_sec_per_chip",
             "value": 0.0,
@@ -183,6 +213,7 @@ def main() -> None:
                 "error": "no JAX backend reachable (TPU tunnel down?) — "
                          "backend init hung past the probe timeout; "
                          "measurement impossible this run",
+                "last_measured": _load_last_good(),
             },
         }))
         return
@@ -364,6 +395,30 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+
+    # Persist this successful measurement for the dead-tunnel path of
+    # future runs (best-effort; never jeopardize the printed contract).
+    # Smoke configurations must not overwrite a real on-chip record.
+    if (os.environ.get("LLIE_BENCH_FORCE_CPU")
+            or os.environ.get("LLIE_BENCH_SIDE")):
+        return
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({
+                "value": result["value"],
+                "vs_baseline": result["vs_baseline"],
+                "train_step_ms": result["detail"]["train_step_ms"],
+                "train_step_ms_no_perc":
+                    result["detail"]["train_step_ms_no_perc"],
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()),
+                "device": result["detail"]["device"],
+                "source": "previous successful bench.py run",
+            }, f)
+            f.write("\n")
+    except Exception as e:
+        print(f"bench: could not persist last-good record: {e}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ tuning and the force-CPU escape hatch live in one place.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from typing import Optional
@@ -33,7 +34,12 @@ def probe_backend(attempts: int = 3,
 
     Honors ``$LLIE_BENCH_FORCE_CPU`` (smoke-test knob): the probe child
     then reports the CPU backend, same as the measurement children.
+    ``$LLIE_PROBE_ATTEMPTS`` / ``$LLIE_PROBE_TIMEOUT_S`` override the
+    caller's values — smoke tests use them to drive the dead-backend
+    path in seconds instead of minutes.
     """
+    attempts = int(os.environ.get("LLIE_PROBE_ATTEMPTS", attempts))
+    timeout_s = float(os.environ.get("LLIE_PROBE_TIMEOUT_S", timeout_s))
     for _ in range(attempts):
         try:
             p = subprocess.run(

@@ -248,6 +248,46 @@ class TestBenchTrainProbe:
         assert rec["metric"] == "sid512_train_steps_per_sec_per_chip"
         assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
         assert "no JAX backend reachable" in rec["detail"]["error"]
+        # the record must still point at the last real measurement
+        last = rec["detail"]["last_measured"]
+        assert last["value"] > 0 and "measured_at" in last
+
+    def test_dead_backend_prefers_persisted_last_good(
+            self, monkeypatch, capsys, tmp_path):
+        """A bench_last_good.json written by a prior successful run wins
+        over the transcribed pre-outage fallback."""
+        import json
+
+        bench = self._bench()
+        rec_path = tmp_path / "bench_last_good.json"
+        rec_path.write_text(json.dumps({
+            "value": 41.2, "vs_baseline": 5.15, "train_step_ms": 24.3,
+            "train_step_ms_no_perc": 20.0,
+            "measured_at": "2026-08-18T00:00:00Z",
+            "source": "previous successful bench.py run"}))
+        monkeypatch.setattr(bench, "_LAST_GOOD_PATH", str(rec_path))
+        monkeypatch.setattr(bench, "_probe_backend", lambda **k: None)
+        bench.main()
+        out = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(out[-1])
+        assert rec["detail"]["last_measured"]["value"] == 41.2
+
+    def test_probe_env_overrides(self, monkeypatch):
+        from lowlight_image_enhancement_tpu.utils import backend_probe
+
+        calls = []
+
+        def fake_run(cmd, capture_output, text, timeout):
+            calls.append(timeout)
+            raise backend_probe.subprocess.TimeoutExpired(
+                cmd="python", timeout=timeout)
+
+        monkeypatch.setattr(backend_probe.subprocess, "run", fake_run)
+        monkeypatch.setenv("LLIE_PROBE_ATTEMPTS", "2")
+        monkeypatch.setenv("LLIE_PROBE_TIMEOUT_S", "0.25")
+        assert backend_probe.probe_backend(attempts=5,
+                                           timeout_s=99.0) is None
+        assert calls == [0.25, 0.25]
 
 
 class TestDebugRootAutoProvision:
