@@ -79,6 +79,10 @@ class PerceptualLoss:
             )
 
     def __call__(self, pred: Array, target: Array) -> Array:
+        # Two separate traversals on purpose: the stop_gradient target
+        # branch then builds NO VJP (2 fwd + 1 bwd passes total). Batching
+        # [pred; target] into one apply looks cheaper but forces the
+        # backward through the full doubled batch (4 pass-equivalents).
         fp = self.module.apply(self.variables, pred)
         ft = self.module.apply(self.variables, jax.lax.stop_gradient(target))
         total = 0.0

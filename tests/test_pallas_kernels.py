@@ -75,3 +75,73 @@ class TestPallasLayerNorm:
         x, w, b = lnp
         y = jax.jit(lambda a: layer_norm_2d_pallas(a, w, b, 1e-6))(x)
         assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestFusedReluPool:
+    """ops/pallas/pool.py — fused relu+maxpool2x2 (interpret mode here).
+
+    The op is NOT wired into VGG (a custom call between convs defeats
+    XLA's TPU conv rewrite — see the module docstring); these tests keep
+    the kernels correct for non-conv-chain pool sites.
+    """
+
+    def _ref(self, x):
+        import flax.linen as fnn
+
+        return fnn.max_pool(jax.nn.relu(x), (2, 2), strides=(2, 2))
+
+    @pytest.mark.parametrize("shape", [(2, 16, 16, 64), (1, 8, 32, 128),
+                                       (2, 4, 16, 192)])
+    def test_fwd_bwd_parity(self, rng, shape):
+        from lowlight_image_enhancement_tpu.ops.pallas.pool import (
+            relu_max_pool_2x2, supported)
+
+        assert supported(shape)
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        y, yr = relu_max_pool_2x2(x), self._ref(x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(yr))
+        g = jnp.asarray(
+            rng.standard_normal(y.shape).astype(np.float32))
+        d = jax.vjp(relu_max_pool_2x2, x)[1](g)[0]
+        dr = jax.vjp(self._ref, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+
+    def test_tie_routing_matches_select_and_scatter(self, rng):
+        from lowlight_image_enhancement_tpu.ops.pallas.pool import (
+            relu_max_pool_2x2)
+
+        base = rng.standard_normal((1, 2, 2, 64)).astype(np.float32)
+        x = jnp.asarray(np.tile(base, (1, 8, 8, 1)))  # every window ties
+        g = jnp.ones((1, 8, 8, 64), jnp.float32)
+        d = jax.vjp(relu_max_pool_2x2, x)[1](g)[0]
+        dr = jax.vjp(self._ref, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+
+    def test_unsupported_shapes_rejected(self):
+        from lowlight_image_enhancement_tpu.ops.pallas.pool import supported
+
+        assert not supported((1, 15, 16, 64))   # odd H
+        assert not supported((1, 16, 16, 48))   # 2C not lane-multiple
+        assert not supported((1, 16, 8, 64))    # W too small
+
+
+class TestVGGPoolReorder:
+    """models/vgg.py pool-first reorder: relu(maxpool(x)) ==
+    maxpool(relu(x)) with exactly equal gradients (torch semantics)."""
+
+    def test_trunk_identical_under_reorder(self, rng, monkeypatch):
+        from lowlight_image_enhancement_tpu.models.vgg import (
+            load_vgg19_features)
+
+        x = jnp.asarray(
+            rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("LLIE_VGG_POOL_FIRST", flag)
+            mod, variables, _ = load_vgg19_features(taps=("relu5_4",))
+            val, grad = jax.value_and_grad(
+                lambda xx: jnp.sum(
+                    mod.apply(variables, xx)["relu5_4"] ** 2))(x)
+            outs[flag] = (np.asarray(val), np.asarray(grad))
+        np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+        np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
