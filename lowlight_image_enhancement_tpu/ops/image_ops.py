@@ -63,6 +63,32 @@ def _pool_cmp_bwd(res, g):
 _pool_cmp.defvjp(_pool_cmp_fwd, _pool_cmp_bwd)
 
 
+@jax.custom_vjp
+def _pool_pallas_bwd(x: Array) -> Array:
+    import flax.linen as fnn
+
+    return fnn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _pool_pallas_bwd_fwd(x):
+    return _pool_pallas_bwd(x), x
+
+
+def _pool_pallas_bwd_bwd(x, g):
+    # Stock reduce_window FORWARD (keeps XLA's TPU conv space-to-depth
+    # rewrite intact around it) + Pallas recompute router BACKWARD
+    # (replaces select-and-scatter, which runs in linear layout with
+    # relayout copies around it). Same first-argmax tie semantics.
+    from lowlight_image_enhancement_tpu.ops.pallas.pool import (
+        max_pool_2x2_bwd,
+    )
+
+    return (max_pool_2x2_bwd(x, g),)
+
+
+_pool_pallas_bwd.defvjp(_pool_pallas_bwd_fwd, _pool_pallas_bwd_bwd)
+
+
 def max_pool_2x2(x: Array) -> Array:
     """2x2/stride-2 max pool, forward-identical to
     ``nn.max_pool((2,2),(2,2))`` / torch ``MaxPool2d(2)`` (odd trailing
@@ -81,10 +107,23 @@ def max_pool_2x2(x: Array) -> Array:
       the gradient multiply). Measured 28.0 ms — rejected.
     - ``slice``: strided-slice maxima with XLA's native AD (selects +
       interior pads). Measured 47.1 ms — rejected.
+    - ``pallas_bwd``: stock forward + Pallas recompute-router backward
+      (``ops/pallas/pool.py``). Wins the pool ops in isolation but the
+      custom_vjp boundary splits the VGG backward's conv fusion
+      clusters: full-recipe step 39.2 -> 49.3 ms — rejected as default,
+      kept as an opt-in for graphs that are not fusion-dominated.
     """
     h2, w2 = x.shape[1] // 2, x.shape[2] // 2
     x = x[:, : h2 * 2, : w2 * 2, :]
     impl = os.environ.get("LLIE_MAXPOOL_IMPL", "reduce_window")
+    if impl == "pallas_bwd":
+        from lowlight_image_enhancement_tpu.ops.pallas.pool import (
+            supported as _pool_supported,
+        )
+
+        if _pool_supported(x.shape):
+            return _pool_pallas_bwd(x)
+        impl = "reduce_window"
     if impl == "reduce_window":
         import flax.linen as fnn
 

@@ -578,7 +578,7 @@ def _call_b(x, g, att, p, cfg: BlockConfig, cdt):
 
 def _kernel_p1(x_in, g_in, dout_in, att,
                w3m, b3, w2n, b2n, w4m, b4, w5m, b5, beta, gamma,
-               dz_out, dgl_out, da_out,
+               dz_out, da_out,
                dw3_a, db3_a, dw2n_a, db2n_a, dw4_a, db4_a, dw5_a, db5_a,
                dbeta_a, dgamma_a,
                *, cfg: BlockConfig, cdt):
@@ -635,8 +635,12 @@ def _kernel_p1(x_in, g_in, dout_in, att,
     dv = _dot(w3m[...], dp, ((0,), (0,)), cdt)
     _accumulate(da_out, _pern_pad(jnp.sum(dv * gf, axis=1,
                                           keepdims=True))[None], i == 0)
+    # dz is P1's ONLY tensor output: P2 recomputes the local gate grad
+    # dgl = (W3^T @ (beta*dz)) * a from it (one extra small matmul
+    # there) instead of this kernel writing a second [N, C, S] tensor —
+    # saves a full HBM round-trip per block and a VMEM-resident buffer
+    # at the stage transitions (measured copy-stall hotspot).
     dz_out[0] = dz.astype(dz_out.dtype)
-    dgl_out[0] = (dv * a).astype(dgl_out.dtype)
 
 
 def _call_p1(x, g, dout, att, p, cfg: BlockConfig, cdt):
@@ -659,14 +663,13 @@ def _call_p1(x, g, dout, att, p, cfg: BlockConfig, cdt):
             _full_spec(p["beta"]), _full_spec(p["gamma"]),
         ],
         out_specs=[
-            _tile_spec(c, thw), _tile_spec(c, thw), _pern_spec(c),
+            _tile_spec(c, thw), _pern_spec(c),
         ] + [pl.BlockSpec(sh, lambda n_, i_, _nd=len(sh): (0,) * _nd,
                           memory_space=pltpu.VMEM)
              for sh in [(c, c), (c, 1), (c, 1), (c, 1),
                         (cfg.ffn_ch, c), (cfg.ffn_ch, 1),
                         (c, fh), (c, 1), (c, 1), (c, 1)]],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c, s), dout.dtype),
             jax.ShapeDtypeStruct((n, c, s), dout.dtype),
             jax.ShapeDtypeStruct((n, c, 128), f32),
             jax.ShapeDtypeStruct((c, c), f32),
@@ -692,10 +695,10 @@ def _call_p1(x, g, dout, att, p, cfg: BlockConfig, cdt):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
-               w1n, b1n, w1m, b1, kdw,
+def _kernel_p2(x_hbm, dz_hbm, dgc, att,
+               w1n, b1n, w1m, b1, kdw, w3m, betav,
                dx_out, dw1_a, db1_a, dw1n_a, db1n_a, dkdw_a, dbk_a,
-               xin, dgin, semx, semg,
+               xin, dzin, semx, semz,
                *, cfg: BlockConfig, cdt):
     n = pl.program_id(0)
     i = pl.program_id(1)
@@ -708,11 +711,11 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
 
     if hx == 0:
         xv = x_hbm[0]
-        dgv = dgl_hbm[0]
+        dzv = dz_hbm[0]
     else:
-        xv, dgv = _pipelined_fetch(
+        xv, dzv = _pipelined_fetch(
             [(x_hbm, xin, semx, hx, th, w, c, xin.dtype),
-             (dgl_hbm, dgin, semg, hg, th, w, c, dgin.dtype)],
+             (dz_hbm, dzin, semz, hg, th, w, c, dzin.dtype)],
             n, i, n_i, pl.num_programs(0))
 
     # --- recompute LN1 / conv1 / depthwise on the x halo grid ---
@@ -731,7 +734,13 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
     u_h = u_full[:, (hx - hg) * w:(hx + th + hg) * w]
 
     # --- gate backward on the dg halo grid ---
-    dg = dgv.astype(jnp.float32) + _pern_read(dgc)
+    # Recompute the local gate grad from dz (P1 no longer writes it):
+    # dgl = (W3^T @ (beta * dz)) * a. Costs one small MXU matmul here,
+    # saves a [N, C, S] HBM round-trip per block. Halo dz rows are the
+    # neighbour tiles' (valid) values; edge fills are zero.
+    dzf = dzv.astype(jnp.float32)
+    dv = _dot(w3m[...], betav[...] * dzf, ((0,), (0,)), cdt)
+    dg = dv * _pern_read(att) + _pern_read(dgc)
     if hg > 0:
         dg = jnp.where(_row_validity(i, th, w, r1l, hg, cfg.h), dg,
                        jnp.zeros((), dg.dtype))
@@ -802,11 +811,12 @@ def _kernel_p2(x_hbm, dz_in, dgl_hbm, dgc,
         _accumulate(dw1n_a, jnp.sum(dh * xhat_m, axis=1, keepdims=True),
                     first)
         _accumulate(db1n_a, jnp.sum(dh, axis=1, keepdims=True), first)
-    dx = _ln_bwd(dh, xhat_m, rstd_m, w1nv) + dz_in[0].astype(jnp.float32)
+    dz_mid = dzf[:, hg * w:(hg + th) * w] if hg > 0 else dzf
+    dx = _ln_bwd(dh, xhat_m, rstd_m, w1nv) + dz_mid
     dx_out[0] = dx.astype(dx_out.dtype)
 
 
-def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
+def _call_p2(x, dz, dgc, att, p, cfg: BlockConfig, cdt):
     n, c, s = x.shape
     thw = cfg.th * cfg.w
     grid = (n, s // thw)
@@ -819,13 +829,14 @@ def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
         in_specs=[
             (_tile_spec(c, thw) if cfg.hx == 0
              else pl.BlockSpec(memory_space=pl.ANY)),   # x
-            _tile_spec(c, thw),
             (_tile_spec(c, thw) if cfg.hx == 0
-             else pl.BlockSpec(memory_space=pl.ANY)),   # dg_local
+             else pl.BlockSpec(memory_space=pl.ANY)),   # dz
+            _pern_spec(c),
             _pern_spec(c),
             _full_spec(p["w1n"]), _full_spec(p["b1n"]),
             _full_spec(p["W1"]), _full_spec(p["b1"]),
             _full_spec(p["kdw"]),
+            _full_spec(p["W3"]), _full_spec(p["beta"]),
         ],
         out_specs=[
             _tile_spec(c, thw),
@@ -846,17 +857,18 @@ def _call_p2(x, dz, dgl, dgc, p, cfg: BlockConfig, cdt):
             pltpu.VMEM((2, c, (cfg.th + 2 * max(cfg.hx, 1)) * cfg.w),
                        x.dtype),
             pltpu.VMEM((2, c, (cfg.th + 2 * max(cfg.hg, 1)) * cfg.w),
-                       dgl.dtype),
+                       dz.dtype),
             pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((6,)),
         ],
-        # dz (input 1) is consumed only here and dx matches its
-        # shape/dtype: reuse the buffer instead of allocating a fresh
-        # [N, C, S] output.
-        input_output_aliases={1: 0},
+        # NOTE: no dz->dx aliasing. dz is read with an hg-row halo by
+        # the NEXT grid step's prefetch while this step writes dx; with
+        # aliasing those DMAs overlap in memory with no ordering
+        # guarantee.
         compiler_params=_COMPILER_PARAMS,
         interpret=cfg.interpret,
-    )(x, dz, dgl, dgc, p["w1n"], p["b1n"], p["W1"], p["b1"], p["kdw"])
+    )(x, dz, dgc, att, p["w1n"], p["b1n"], p["W1"], p["b1"], p["kdw"],
+      p["W3"], p["beta"])
     return outs
 
 
@@ -917,7 +929,7 @@ def _vjp_bwd(cfg: BlockConfig, res, dout):
     x, g, m, att, p = res
     cfg = _bwd_config(cfg)
     cdt = _compute_dtype(x)
-    (dz, dgl, da_part, dW3, db3, dw2n, db2n, dW4, db4, dW5, db5,
+    (dz, da_part, dW3, db3, dw2n, db2n, dW4, db4, dW5, db5,
      dbeta, dgamma) = _call_p1(x, g, dout, att, p, cfg, cdt)
     da = da_part[:, :, 0]                                  # [N, C]
     dWsca = da.T @ m                                       # [C, C]
@@ -925,7 +937,7 @@ def _vjp_bwd(cfg: BlockConfig, res, dout):
     dm = da @ p["Wsca"]                                    # [N, C]
     dgc = _pern_wrap(dm / float(cfg.h * cfg.w))            # [N, C, 128]
     dx, dW1, db1, dw1n, db1n, dkdw, dbk = _call_p2(
-        x, dz, dgl, dgc, p, cfg, cdt)
+        x, dz, dgc, att, p, cfg, cdt)
     dp = {
         "w1n": dw1n, "b1n": db1n, "W1": dW1, "b1": db1,
         "kdw": dkdw, "bk": dbk,

@@ -89,11 +89,11 @@ def _fwd_kernel(x_ref, y_ref, *, c: int):
     y_ref[0] = jnp.maximum(a[:, :, :c], a[:, :, c:])
 
 
-def _bwd_kernel(x_ref, dy_ref, dx_ref, *, c: int):
+def _bwd_kernel(x_ref, dy_ref, dx_ref, *, c: int, relu: bool = True):
     # Comparisons run in f32: this target's VPU has no bf16 cmpf, and
     # f32 compares of bf16-exact values keep tie routing exact.
     v = x_ref[0].astype(jnp.float32)   # [2T, W/2, 2C]
-    r = jnp.maximum(v, jnp.zeros((), v.dtype))
+    r = jnp.maximum(v, jnp.zeros((), v.dtype)) if relu else v
     re, ro = _split_h(r)
     r00, r01 = re[:, :, :c], re[:, :, c:]
     r10, r11 = ro[:, :, :c], ro[:, :, c:]
@@ -110,7 +110,9 @@ def _bwd_kernel(x_ref, dy_ref, dx_ref, *, c: int):
         [jnp.where(p10, d, zero), jnp.where(p11, d, zero)], axis=2)
     t = d.shape[0]
     dx = jnp.stack([de, do], axis=1).reshape(2 * t, *de.shape[1:])
-    dx_ref[0] = jnp.where(v > jnp.zeros((), v.dtype), dx, zero)
+    if relu:
+        dx = jnp.where(v > jnp.zeros((), v.dtype), dx, zero)
+    dx_ref[0] = dx
 
 
 def _pool_fwd_impl(x: Array) -> Array:
@@ -132,7 +134,7 @@ def _pool_fwd_impl(x: Array) -> Array:
     )(xr)
 
 
-def _pool_bwd_impl(x: Array, dy: Array) -> Array:
+def _pool_bwd_impl(x: Array, dy: Array, relu: bool = True) -> Array:
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     xr = x.reshape(n, h, w2, 2 * c)
@@ -140,7 +142,7 @@ def _pool_bwd_impl(x: Array, dy: Array) -> Array:
     tr = _row_tile(h2, w, c, x.dtype.itemsize, n_bufs=5)
     grid = (n, h2 // tr)
     dxr = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c),
+        functools.partial(_bwd_kernel, c=c, relu=relu),
         grid=grid,
         name="relu_pool2x2_bwd",
         in_specs=[
@@ -170,3 +172,22 @@ def _vjp_bwd(x, dy):
 
 
 relu_max_pool_2x2.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def max_pool_2x2_bwd(x: Array, dy: Array) -> Array:
+    """Pure maxpool2x2 backward: route ``dy`` to the FIRST window
+    position attaining the max of ``x`` (SelectAndScatter/torch tie
+    semantics), no relu. For use as a custom VJP under a stock XLA
+    ``reduce_window`` forward — replaces the select-and-scatter op,
+    which on v5e runs in linear layout with relayout copies around it
+    (~1.3 ms for VGG pool1 bwd vs ~0.2 ms bandwidth floor).
+
+    Measured END-TO-END and REJECTED as a default
+    (``LLIE_MAXPOOL_IMPL=pallas_bwd`` keeps it available): in the full
+    recipe step the select-and-scatter family does drop 2.6 -> 1.0 ms,
+    but the ``custom_vjp`` boundary splits XLA's VGG-backward fusion
+    clusters (conv + relu-select chains), inflating ``fusion`` time
+    15.4 -> 24.7 ms for a net 39.2 -> 49.3 ms/step regression. The
+    kernel is only profitable where the surrounding graph is not
+    fusion-dominated."""
+    return _pool_bwd_impl(x, dy, relu=False)

@@ -125,6 +125,58 @@ class TestFusedReluPool:
         assert not supported((1, 16, 8, 64))    # W too small
 
 
+class TestPallasPoolBwdRouter:
+    """``LLIE_MAXPOOL_IMPL=pallas_bwd``: stock reduce_window forward +
+    Pallas recompute router backward must equal the stock
+    SelectAndScatter grad exactly, including first-argmax ties."""
+
+    def _stock(self, x):
+        import flax.linen as fnn
+
+        return fnn.max_pool(x, (2, 2), strides=(2, 2))
+
+    def test_router_matches_select_and_scatter(self, rng, monkeypatch):
+        from lowlight_image_enhancement_tpu.ops.image_ops import (
+            max_pool_2x2)
+
+        monkeypatch.setenv("LLIE_MAXPOOL_IMPL", "pallas_bwd")
+        x = jnp.asarray(
+            rng.standard_normal((2, 16, 16, 64)).astype(np.float32))
+        y = max_pool_2x2(x)
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(self._stock(x)))
+        g = jnp.asarray(
+            rng.standard_normal(y.shape).astype(np.float32))
+        d = jax.vjp(max_pool_2x2, x)[1](g)[0]
+        dr = jax.vjp(self._stock, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+
+    def test_router_tie_semantics_no_relu(self, rng, monkeypatch):
+        # Negative-valued ties: distinguishes the no-relu router from
+        # the relu'd kernel (which would zero these windows).
+        from lowlight_image_enhancement_tpu.ops.image_ops import (
+            max_pool_2x2)
+
+        monkeypatch.setenv("LLIE_MAXPOOL_IMPL", "pallas_bwd")
+        base = -np.abs(rng.standard_normal((1, 2, 2, 64))).astype(
+            np.float32)
+        x = jnp.asarray(np.tile(base, (1, 8, 8, 1)))
+        g = jnp.ones((1, 8, 8, 64), jnp.float32)
+        d = jax.vjp(max_pool_2x2, x)[1](g)[0]
+        dr = jax.vjp(self._stock, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+
+    def test_router_falls_back_on_unsupported(self, rng, monkeypatch):
+        from lowlight_image_enhancement_tpu.ops.image_ops import (
+            max_pool_2x2)
+
+        monkeypatch.setenv("LLIE_MAXPOOL_IMPL", "pallas_bwd")
+        x = jnp.asarray(
+            rng.standard_normal((1, 6, 6, 5)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(max_pool_2x2(x)),
+                                      np.asarray(self._stock(x)))
+
+
 class TestVGGPoolReorder:
     """models/vgg.py pool-first reorder: relu(maxpool(x)) ==
     maxpool(relu(x)) with exactly equal gradients (torch semantics)."""
