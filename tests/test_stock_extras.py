@@ -132,7 +132,8 @@ class TestNiqe:
         info = niqe_model_info()
         assert os.path.exists(info["path"])
         assert any(tag in info["corpus"]
-                   for tag in ("bundled_photographic", "synthetic",
+                   for tag in ("matlab_official_reference",
+                               "bundled_photographic", "synthetic",
                                "folder"))
 
     def test_missing_params_raise(self, rng, monkeypatch):
