@@ -103,7 +103,12 @@ def _bwd_kernel(x_ref, dy_ref, dx_ref, *, c: int, relu: bool = True):
     p00 = r00 == m
     p01 = (r01 == m) & ~p00
     p10 = (r10 == m) & ~p00 & ~p01
-    p11 = (r11 == m) & ~p00 & ~p01 & ~p10
+    # p11 is the unconditional remainder so gradient mass is conserved
+    # even when the window max is NaN (all `== m` compares false): the
+    # gradient then routes to the last window position instead of being
+    # dropped, matching XLA select-and-scatter's route-somewhere
+    # behavior under NaN.
+    p11 = ~p00 & ~p01 & ~p10
     de = jnp.concatenate(
         [jnp.where(p00, d, zero), jnp.where(p01, d, zero)], axis=2)
     do = jnp.concatenate(
