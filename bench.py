@@ -48,6 +48,101 @@ import numpy as np
 
 A100_REFERENCE_STEPS_PER_SEC_ESTIMATE = 8.0
 
+# Peak dense-matmul throughput (bf16 FLOP/s) by TPU device kind, for MFU.
+# Sources: public TPU system specs (v5e 197, v4 275, v5p 459, v6e 918
+# TFLOP/s bf16 per chip).
+_TPU_PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _device_peak_flops() -> float | None:
+    kind = getattr(jax.devices()[0], "device_kind", str(jax.devices()[0]))
+    # longest matching key wins ("TPU v5 lite" before "TPU v5")
+    best = None
+    for k, v in _TPU_PEAK_BF16_FLOPS.items():
+        if k in str(kind) and (best is None or len(k) > best[0]):
+            best = (len(k), v)
+    return best[1] if best else None
+
+
+def _model_flops_per_step(state, batch, use_perc: bool) -> float | None:
+    """MODEL FLOPs of one optimizer step via XLA cost analysis of the
+    pure-XLA (unfused) graph (SURVEY C42's TPU contract:
+    ``metrics/flops_utils.py`` / ``jit(...).lower(...).cost_analysis()``).
+
+    The unfused graph is used on purpose: (a) Pallas custom calls report
+    zero FLOPs to cost analysis, so counting the fused graph undercounts;
+    (b) the fused kernels' recompute-based backward EXECUTES more FLOPs
+    than the model math — MFU by convention uses model FLOPs (the math as
+    defined), not hardware FLOPs, so the unfused count is the honest
+    numerator. Fused/unfused math parity is exact-tested
+    (tests/test_fused_nafblock.py, tests/test_flat_trunk.py).
+
+    Only ``lower()`` + ``cost_analysis()`` run (no backend compile):
+    ~15 s host time, shape-dependent only.
+    """
+    try:
+        from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+        from lowlight_image_enhancement_tpu.models import create_newbp_net
+        from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
+        from lowlight_image_enhancement_tpu.training import make_train_step
+
+        net = create_newbp_net(
+            nafnet_params=dict(NAFNET_PARAMS, fused_blocks=False,
+                               flat_trunk=False),
+            dtype=jnp.bfloat16)
+        loss = HybridLossPlus(
+            use_perc=use_perc, use_deltaE=True, use_ssim=False,
+            perc_dtype=jnp.bfloat16,
+            physics_psf_module=create_crosstalk_psf("mono", "P2"))
+        tx = make_optimizer_for_flops()
+        step = make_train_step(net, loss, tx, donate=False)
+        return _lowered_flops(step, state, batch)
+    except Exception as e:
+        print(f"bench: model-FLOPs count failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+def _lowered_flops(step, state, batch) -> float | None:
+    """flops from cost_analysis of ``step`` lowered at abstract
+    state/batch, with Pallas dispatch disabled during tracing so any
+    "auto" fusion inside the model resolves to the countable XLA graph."""
+    prev = os.environ.get("LLIE_DISABLE_PALLAS")
+    os.environ["LLIE_DISABLE_PALLAS"] = "1"
+    try:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (state, batch))
+        ca = jax.jit(step).lower(*abstract).cost_analysis()
+    finally:
+        if prev is None:
+            os.environ.pop("LLIE_DISABLE_PALLAS", None)
+        else:
+            os.environ["LLIE_DISABLE_PALLAS"] = prev
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = float((ca or {}).get("flops", 0.0))
+    return flops if flops > 0 else None
+
+
+def make_optimizer_for_flops():
+    from lowlight_image_enhancement_tpu.training import (
+        make_optimizer, make_schedule,
+    )
+
+    return make_optimizer(make_schedule(
+        {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
+        base_lr=5e-4,
+    ))
+
 NAFNET_PARAMS = dict(
     img_channel=3,
     width=32,
@@ -79,8 +174,9 @@ def _flagship_batch():
     }
 
 
-def measure_train_inprocess(use_perc: bool, runs: int = 20) -> float:
-    """Seconds/step for the recipe with/without the perceptual term.
+def measure_train_inprocess(use_perc: bool, runs: int = 20):
+    """(seconds/step, model FLOPs/step or None) for the recipe
+    with/without the perceptual term.
 
     Two independent measurement rounds; report the SLOWER one. The
     hosted tunnel occasionally mis-serializes a burst (observed once:
@@ -125,11 +221,13 @@ def measure_train_inprocess(use_perc: bool, runs: int = 20) -> float:
             state, logs = step(state, batch)
         jax.block_until_ready(logs["l_total"])
         round_s.append((time.perf_counter() - t0) / runs)
-    return max(round_s)
+    flops = _model_flops_per_step(state, batch, use_perc)
+    return max(round_s), flops
 
 
-def measure_train(use_perc: bool) -> float:
-    """Measure the train step in a FRESH subprocess.
+def measure_train(use_perc: bool):
+    """(seconds/step, model FLOPs/step or None), measured in a FRESH
+    subprocess.
 
     Same-process sequential measurements contaminate each other on this
     backend (observed: the no-perc step measuring ~50 ms instead of ~33
@@ -146,9 +244,15 @@ def measure_train(use_perc: bool) -> float:
              "--train-probe", mode],
             capture_output=True, text=True, timeout=3600,
         )
+        s = flops = None
         for ln in p.stdout.splitlines():
             if ln.startswith("TRAIN_S "):
-                return float(ln.split()[1])
+                s = float(ln.split()[1])
+            elif ln.startswith("TRAIN_FLOPS "):
+                v = float(ln.split()[1])
+                flops = v if v > 0 else None
+        if s is not None:
+            return s, flops
         print(f"bench: train probe [{mode}] produced no result "
               f"(rc={p.returncode}); falling back to in-process. tail: "
               + (p.stdout + p.stderr)[-800:], file=sys.stderr)
@@ -241,10 +345,25 @@ def main() -> None:
     # fresh subprocess (see measure_train) ---
     # Headline: the FULL reference recipe (perceptual term included,
     # random-init VGG trunk — same FLOPs as pretrained).
-    train_s = measure_train(use_perc=True)
+    train_s, flops_full = measure_train(use_perc=True)
     steps_per_sec = 1.0 / train_s
     # Round-2-comparable number (recipe minus the perceptual term).
-    train_s_noperc = measure_train(use_perc=False)
+    train_s_noperc, flops_noperc = measure_train(use_perc=False)
+
+    peak = _device_peak_flops()
+
+    def _mfu(flops, secs):
+        """{flops_per_step, achieved_tflops, mfu_pct} (model FLOPs — see
+        _model_flops_per_step) or None when uncountable."""
+        if not flops or not secs:
+            return None
+        out = {
+            "flops_per_step": round(flops),
+            "achieved_tflops": round(flops / secs / 1e12, 2),
+        }
+        if peak:
+            out["mfu_pct"] = round(100.0 * flops / secs / peak, 2)
+        return out
 
     # --- in-process setup for the remaining (variant) measurements ---
     net = create_newbp_net(nafnet_params=nafnet_params, dtype=jnp.bfloat16)
@@ -295,6 +414,7 @@ def main() -> None:
     del variables, fwd, y
     gc.collect()
     s2d_steps_per_sec = None
+    s2d_flops = None
     try:
         from lowlight_image_enhancement_tpu.models import define_network
 
@@ -316,6 +436,13 @@ def main() -> None:
             s2d_state, s2d_logs = s2d_step(s2d_state, batch)
         jax.block_until_ready(s2d_logs["l_total"])
         s2d_steps_per_sec = runs / (time.perf_counter() - t0)
+        try:
+            s2d_flops_step = make_train_step(s2d_net, loss, tx,
+                                             donate=False)
+            s2d_flops = _lowered_flops(s2d_flops_step, s2d_state, batch)
+        except Exception as e:
+            print(f"bench: s2d FLOPs count failed: {e}", file=sys.stderr)
+            s2d_flops = None
     except Exception as e:
         # the headline metric must never fail on the variant — but a
         # silent null hides a broken path; surface it on stderr
@@ -385,6 +512,16 @@ def main() -> None:
             "nafnet_tpu_s2d_steps_per_sec_no_perc": (
                 round(s2d_steps_per_sec, 4) if s2d_steps_per_sec else None
             ),
+            # Model-FLOPs utilization (VERDICT r3 #2): flops counted on
+            # the pure-XLA unfused graph (exact math parity with the
+            # fused kernels; recompute excluded), peak = device bf16
+            # dense peak (_TPU_PEAK_BF16_FLOPS).
+            "mfu_full_recipe": _mfu(flops_full, train_s),
+            "mfu_no_perc": _mfu(flops_noperc, train_s_noperc),
+            "mfu_s2d_no_perc": _mfu(
+                s2d_flops,
+                1.0 / s2d_steps_per_sec if s2d_steps_per_sec else None),
+            "peak_bf16_tflops": (peak / 1e12) if peak else None,
             "data_parallel": dp,
             "device": str(jax.devices()[0]),
             "baseline_note": (
@@ -423,7 +560,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--train-probe":
-        s = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
+        s, flops = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
         print(f"TRAIN_S {s:.9f}", flush=True)
+        print(f"TRAIN_FLOPS {flops if flops else 0:.1f}", flush=True)
     else:
         main()
