@@ -27,6 +27,11 @@ from lowlight_image_enhancement_tpu.data.paired_image_dataset import (  # noqa: 
     PairedImageDataset,
     SingleImageDataset,
 )
+from lowlight_image_enhancement_tpu.data.stereo_dataset import (  # noqa: F401
+    PairedImageSRLRDataset,
+    PairedImageSRLRFullImageMemoryDataset,
+    PairedStereoImageDataset,
+)
 from lowlight_image_enhancement_tpu.data.sid_dataset import (  # noqa: F401
     SonySIDDataset,
     load_manifest,

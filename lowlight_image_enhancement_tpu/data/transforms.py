@@ -56,6 +56,56 @@ def paired_random_crop(
             lqs if lq_was_list else lqs[0])
 
 
+def paired_random_crop_hw(
+    imgs_gt: Union[Img, Sequence[Img]],
+    imgs_lq: Union[Img, Sequence[Img]],
+    gt_patch_h: int,
+    gt_patch_w: int,
+    scale: int = 1,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Rectangular joint random crop (reference
+    ``basicsr/data/transforms.py:94-160 paired_random_crop_hw``): the lq
+    patch is ``(gt_patch_h//scale, gt_patch_w//scale)`` at a shared random
+    location, the gt patch the scaled window."""
+    rng = rng or np.random.default_rng()
+    gts, gt_was_list = _as_list(imgs_gt)
+    lqs, lq_was_list = _as_list(imgs_lq)
+    h_lq, w_lq = lqs[0].shape[:2]
+    ph, pw = gt_patch_h // scale, gt_patch_w // scale
+    if h_lq < ph or w_lq < pw:
+        raise ValueError(f"lq {(h_lq, w_lq)} smaller than patch {(ph, pw)}")
+    top = int(rng.integers(0, h_lq - ph + 1))
+    left = int(rng.integers(0, w_lq - pw + 1))
+    lqs = [im[top : top + ph, left : left + pw, ...] for im in lqs]
+    tg, lg = top * scale, left * scale
+    gts = [im[tg : tg + gt_patch_h, lg : lg + gt_patch_w, ...]
+           for im in gts]
+    return (gts if gt_was_list else gts[0],
+            lqs if lq_was_list else lqs[0])
+
+
+def pad_to_min_size(img_lq: Img, img_gt: Img, gt_size: int,
+                    scale: int = 1):
+    """Reflect-pad (bottom/right) so lq reaches at least
+    ``gt_size//scale`` and gt at least ``gt_size`` per spatial dim.
+
+    Reference ``img_util.py:133-145 padding`` pads BOTH images by the
+    same pixel amounts, which silently breaks the ``gt = scale*lq``
+    relation whenever ``scale != 1``; padding each image to its own
+    scaled target preserves it (the crop that follows asserts it)."""
+
+    def _pad(img: Img, target: int) -> Img:
+        h, w = img.shape[:2]
+        h_pad, w_pad = max(0, target - h), max(0, target - w)
+        if h_pad == 0 and w_pad == 0:
+            return img
+        pad = ((0, h_pad), (0, w_pad)) + ((0, 0),) * (img.ndim - 2)
+        return np.pad(img, pad, mode="reflect")
+
+    return _pad(img_lq, gt_size // scale), _pad(img_gt, gt_size)
+
+
 def center_crop(img: Img, patch_size: int) -> Img:
     h, w = img.shape[:2]
     top = max((h - patch_size) // 2, 0)
@@ -88,12 +138,19 @@ def augment(
     hflip: bool = True,
     rotation: bool = True,
     rng: Optional[np.random.Generator] = None,
+    vflip: Optional[bool] = None,
+    return_status: bool = False,
 ):
     """Random horizontal flip / vertical flip / transpose ("rot90"),
-    applied identically to all images (reference ``augment``)."""
+    applied identically to all images (reference ``augment``,
+    ``basicsr/data/transforms.py:163-218``): ``vflip`` (when given)
+    decouples the vertical flip from ``rotation`` and ``return_status``
+    appends the drawn ``(hflip, vflip, rot90)`` tuple — the stereo
+    dataset's calling convention."""
     rng = rng or np.random.default_rng()
     do_hflip = hflip and rng.random() < 0.5
-    do_vflip = rotation and rng.random() < 0.5
+    do_vflip = (vflip if vflip is not None else rotation) \
+        and rng.random() < 0.5
     do_rot = rotation and rng.random() < 0.5
 
     def _aug(img: Img) -> Img:
@@ -107,7 +164,10 @@ def augment(
 
     lst, was_list = _as_list(imgs)
     out = [_aug(im) for im in lst]
-    return out if was_list else out[0]
+    out = out if was_list else out[0]
+    if return_status:
+        return out, (do_hflip, do_vflip, do_rot)
+    return out
 
 
 def mod_crop(img: Img, scale: int) -> Img:

@@ -48,6 +48,17 @@ from lowlight_image_enhancement_tpu.utils.registry import MODEL_REGISTRY
 logger = logging.getLogger(__name__)
 
 
+def _net_input_channels(net_opt: Mapping[str, Any]) -> int:
+    """Channel count of the network's input for shape-only param init.
+
+    Stereo archs (NAFSSR) consume both views concatenated channelwise, so
+    their input is ``2*img_channel`` (``models/nafssr.py:NAFSSR``); every
+    other arch takes ``img_channel``/``in_channels`` directly."""
+    t = str(net_opt.get("type", ""))
+    c = int(net_opt.get("img_channel", net_opt.get("in_channels", 3)))
+    return 2 * c if ("SSR" in t or "Stereo" in t) else c
+
+
 def create_model(opt: Mapping[str, Any]):
     """Instantiate a model wrapper from ``opt['model_type']``
     (reference ``models/__init__.py:37-78``)."""
@@ -293,7 +304,7 @@ class LowlightModel(_BaseWrapper):
         seed = int(opt.get("manual_seed", 0))
         self.state = create_train_state(
             self.net_g, self.optimizer, jax.random.PRNGKey(seed),
-            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, _net_input_channels(opt["network_g"]))),
         )
 
         net = self.net_g
