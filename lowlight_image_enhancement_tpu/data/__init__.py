@@ -36,6 +36,22 @@ from lowlight_image_enhancement_tpu.data.sid_dataset import (  # noqa: F401
     SonySIDDataset,
     load_manifest,
 )
+from lowlight_image_enhancement_tpu.data.sid_raw_dataset import (  # noqa: F401
+    SIDPairMetadata,
+    SonySIDRawDataset,
+    find_sid_pairs,
+    parse_sid_filename,
+)
+from lowlight_image_enhancement_tpu.data.video_test_dataset import (  # noqa: F401
+    VideoRecurrentTestDataset,
+    VideoTestDataset,
+    VideoTestDUFDataset,
+    VideoTestVimeo90KDataset,
+    duf_downsample,
+    generate_frame_indices,
+    generate_gaussian_kernel,
+    read_img_seq,
+)
 from lowlight_image_enhancement_tpu.utils.registry import DATASET_REGISTRY
 
 

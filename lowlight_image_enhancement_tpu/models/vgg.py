@@ -63,6 +63,7 @@ class VGG19Features(nn.Module):
         reorder = os.environ.get("LLIE_VGG_POOL_FIRST", "1") != "0"
         outputs: Dict[str, Array] = {}
         for stage, (feat, n_convs) in enumerate(_VGG19_CFG, start=1):
+            pooled = False
             for ci in range(1, n_convs + 1):
                 x = nn.Conv(
                     features=feat,
