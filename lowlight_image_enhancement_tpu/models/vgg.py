@@ -42,6 +42,99 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _s2d_stem_kernel(kernel):
+    """Re-layout a full-res 3x3 HWIO kernel into space-to-depth(2) space.
+
+    A stride-1 3x3 conv on ``[N, H, W, Ci]`` equals a stride-1 3x3 conv on
+    the s2d(2) tensor ``[N, H/2, W/2, 4*Ci]`` producing ``[..., 4*Co]``
+    (output phases stacked), with taps
+
+        K'[Dy, Dx, (py,px,ci), (qy,qx,co)] = K[dy, dx, ci, co],
+        dy = 2*Dy + py - qy,  dx = 2*Dx + px - qx,   |dy|,|dx| <= 1
+
+    and zeros elsewhere.  Phase order is row-major ``(phase_y, phase_x,
+    channel)`` to match :func:`_space_to_depth`.  This is an exact
+    reorganization of the same multiply-adds — it exists because the
+    stock lowering of a 3-channel conv (and especially its input
+    gradient, a transposed conv with THREE output lanes) leaves the MXU
+    ~95% idle at 512^2; in s2d space the contraction is 12->256 lanes.
+    """
+    kh, kw, ci, co = kernel.shape
+    assert (kh, kw) == (3, 3), "s2d stem expects a 3x3 kernel"
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), kernel.dtype)
+    for dy_ in range(3):
+        for dx_ in range(3):
+            dy, dx = dy_ - 1, dx_ - 1
+            for py in range(2):
+                for px in range(2):
+                    for qy in range(2):
+                        for qx in range(2):
+                            if (2 * ((qy + dy - py) // 2) != qy + dy - py
+                                    or 2 * ((qx + dx - px) // 2)
+                                    != qx + dx - px):
+                                continue
+                            Dy = (qy + dy - py) // 2
+                            Dx = (qx + dx - px) // 2
+                            if Dy not in (-1, 0, 1) or Dx not in (-1, 0, 1):
+                                continue
+                            pi = (py * 2 + px) * ci
+                            qi = (qy * 2 + qx) * co
+                            out = out.at[
+                                Dy + 1, Dx + 1, pi:pi + ci, qi:qi + co
+                            ].set(kernel[dy_, dx_])
+    return out
+
+
+def _space_to_depth(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C], phase order (py, px, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x, c_out: int):
+    """Inverse of :func:`_space_to_depth` for ``4*c_out`` channels."""
+    n, h2, w2, _ = x.shape
+    x = x.reshape(n, h2, w2, 2, 2, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h2 * 2, w2 * 2, c_out)
+
+
+class _StemS2DConv(nn.Module):
+    """conv1_1 with the SAME param tree as ``nn.Conv`` but computed in
+    space-to-depth(2) space when the spatial dims are even (exact; see
+    :func:`_s2d_stem_kernel`).  Falls back to the stock lowering on odd
+    shapes."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci,
+                                                       self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+        n, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            y = jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b
+        ks = _s2d_stem_kernel(k)
+        y = jax.lax.conv_general_dilated(
+            _space_to_depth(x), ks, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _depth_to_space(y, self.features) + b
+
+
 class VGG19Features(nn.Module):
     """VGG19 trunk up to relu5_4 (no final pool) returning tap activations.
 
@@ -61,18 +154,25 @@ class VGG19Features(nn.Module):
         x = x.astype(self.dtype)
 
         reorder = os.environ.get("LLIE_VGG_POOL_FIRST", "1") != "0"
+        s2d_stem = os.environ.get("LLIE_VGG_S2D_STEM", "1") != "0"
         outputs: Dict[str, Array] = {}
         for stage, (feat, n_convs) in enumerate(_VGG19_CFG, start=1):
             pooled = False
             for ci in range(1, n_convs + 1):
-                x = nn.Conv(
-                    features=feat,
-                    kernel_size=(3, 3),
-                    padding="SAME",
-                    dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    name=f"conv{stage}_{ci}",
-                )(x)
+                if stage == 1 and ci == 1 and s2d_stem:
+                    # Same params, exact math, MXU-shaped lowering —
+                    # see _StemS2DConv.
+                    x = _StemS2DConv(features=feat, dtype=self.dtype,
+                                     name="conv1_1")(x)
+                else:
+                    x = nn.Conv(
+                        features=feat,
+                        kernel_size=(3, 3),
+                        padding="SAME",
+                        dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name=f"conv{stage}_{ci}",
+                    )(x)
                 name = f"relu{stage}_{ci}"
                 # Stage-final relu commutes with the 2x2 max pool
                 # (``maxpool(relu(x)) == relu(maxpool(x))``, and the

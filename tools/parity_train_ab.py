@@ -49,7 +49,11 @@ _ARCHS = "NAFNet_base/basicsr/models/archs"
 
 GEOMETRY = dict(img_channel=3, width=8, middle_blk_num=2,
                 enc_blk_nums=(1, 2), dec_blk_nums=(1, 1))
-LR, WD, CLIP, W_PHYS, RHO = 5e-4, 0.01, 0.01, 0.10, 5.0
+LR, WD, CLIP, W_PHYS, W_PERC, RHO = 5e-4, 0.01, 0.01, 0.10, 0.02, 5.0
+
+# torchvision vgg19.features conv indices (same trunk layout both sides)
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
 
 
 def reference_available() -> bool:
@@ -85,10 +89,10 @@ def load_reference_modules():
     return arch.NAFNet, layer
 
 
-def make_batch(side: int, n: int = 2):
+def make_batch(side: int, n: int = 2, seed: int = 7):
     import numpy as np
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     short_raw = rng.uniform(0, 0.18, (n, side, side, 3)).astype(np.float32)
     lq = np.clip(short_raw * RHO, 0, 1).astype(np.float32)
     gt = np.clip(lq + rng.uniform(-0.05, 0.08, lq.shape), 0, 1).astype(
@@ -97,16 +101,72 @@ def make_batch(side: int, n: int = 2):
             "short_obs": short_raw}
 
 
-def run_torch(steps: int, side: int):
-    """Reference-side trajectory. Returns (losses, init_sd, final_sd)."""
+def make_shared_vgg(tmpdir: str):
+    """One random-init VGG19 trunk used by BOTH sides.
+
+    Returns ``(torch_features_sequential, npz_path)``: the torch
+    ``nn.Sequential`` in exact torchvision ``vgg19().features`` layout
+    (consumed by the reference's ``PerceptualLoss``,
+    ``NewBP_model/losses.py:39-53``, via a stub ``torchvision``), and an
+    npz of the same weights in the framework's converter format
+    (``tools/convert_vgg_weights.py``) for our ``PerceptualLoss``.
+    """
+    import numpy as np
+    import torch
+
+    from convert_vgg_weights import _IDX_TO_NAME
+
+    torch.manual_seed(123)
+    layers, in_ch = [], 3
+    for v in _VGG_CFG:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_ch, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            in_ch = v
+    feats = torch.nn.Sequential(*layers)
+    out = {}
+    for idx, name in _IDX_TO_NAME.items():
+        out[f"{name}.weight"] = feats[idx].weight.detach().numpy()
+        out[f"{name}.bias"] = feats[idx].bias.detach().numpy()
+    npz_path = os.path.join(tmpdir, "parity_vgg19.npz")
+    np.savez(npz_path, **out)
+    return feats, npz_path
+
+
+def _load_reference_perceptual(torch_feats):
+    """The reference's own ``PerceptualLoss`` (``NewBP_model/losses.py:
+    32-69``) built around a caller-supplied feature trunk — torchvision
+    is absent in this image, so a stub module hands the reference class
+    our shared-weights trunk instead."""
+    import types
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvm.vgg19 = lambda *a, **k: types.SimpleNamespace(features=torch_feats)
+    tvm.VGG19_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    ref_losses = _load_ref("losses.py", "ref_newbp_losses", "NewBP_model")
+    return ref_losses.PerceptualLoss(device="cpu", use_mse=True)
+
+
+def run_torch(steps: int, side: int, geometry=None, torch_feats=None):
+    """Reference-side trajectory. Returns (losses, init_sd, final_sd,
+    final_outputs_on_val)."""
     import numpy as np
     import torch
     import torch.nn.functional as F
 
+    geometry = geometry or GEOMETRY
     TorchNAFNet, layer = load_reference_modules()
+    perc = (_load_reference_perceptual(torch_feats)
+            if torch_feats is not None else None)
     torch.manual_seed(0)
     net = TorchNAFNet(**{k: list(v) if isinstance(v, tuple) else v
-                         for k, v in GEOMETRY.items()})
+                         for k, v in geometry.items()})
     with torch.no_grad():
         for p in net.parameters():
             p.copy_(torch.randn_like(p) * 0.05)
@@ -132,16 +192,23 @@ def run_torch(steps: int, side: int):
         l1 = F.l1_loss(out, gt_t)
         phys = F.l1_loss(psf(out.clamp(0, 1)), align)
         total = l1 + W_PHYS * phys
+        if perc is not None:
+            total = total + W_PERC * perc(out, gt_t)
         total.backward()
         torch.nn.utils.clip_grad_norm_(net.parameters(), CLIP)
         opt.step()
         losses.append(float(total.detach()))
     final_sd = {k: v.detach().clone().numpy()
                 for k, v in net.state_dict().items()}
-    return losses, init_sd, final_sd
+    net.eval()
+    vb = make_batch(side, seed=1234)
+    with torch.no_grad():
+        val_out = net(to_t(vb["lq"])).clamp(0, 1).numpy()
+    val_out = np.transpose(val_out, (0, 2, 3, 1))
+    return losses, init_sd, final_sd, (val_out, vb["gt"])
 
 
-def run_jax(steps: int, side: int, init_sd):
+def run_jax(steps: int, side: int, init_sd, geometry=None, vgg_npz=None):
     """Framework-side trajectory from the converted torch init."""
     import jax
     import jax.numpy as jnp
@@ -149,15 +216,22 @@ def run_jax(steps: int, side: int, init_sd):
 
     from convert_torch_nafnet import convert_state_dict, flat_to_tree
     from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+    from lowlight_image_enhancement_tpu.losses.components import (
+        PerceptualLoss)
     from lowlight_image_enhancement_tpu.models import NAFNet
     from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
     from lowlight_image_enhancement_tpu.training.train_step import (
         TrainState, make_optimizer, make_train_step)
 
-    net = NAFNet(**GEOMETRY)
+    geometry = geometry or GEOMETRY
+    net = NAFNet(**geometry)
     params = flat_to_tree(convert_state_dict(init_sd))
+    perceptual = (PerceptualLoss(weights_path=vgg_npz, dtype=jnp.float32)
+                  if vgg_npz else None)
     loss = HybridLossPlus(
-        use_perc=False, use_deltaE=False, use_ssim=False, use_phys=True,
+        use_perc=perceptual is not None, w_perc=W_PERC,
+        perceptual=perceptual,
+        use_deltaE=False, use_ssim=False, use_phys=True,
         w_phys=W_PHYS, physics_psf_module=create_crosstalk_psf("mono", "P2"),
     )
     tx = make_optimizer(LR)   # AdamW(wd 0.01) + global-norm clip 0.01
@@ -175,7 +249,12 @@ def run_jax(steps: int, side: int, init_sd):
     for _ in range(steps):
         state, logs = step(state, batch)
         losses.append(float(logs["l_total"]))
-    return losses, jax.device_get(state.params)
+
+    vb = make_batch(side, seed=1234)
+    val_out = jax.jit(lambda p, x: net.apply({"params": p}, x))(
+        state.params, jnp.asarray(vb["lq"]))
+    val_out = np.clip(np.asarray(val_out), 0.0, 1.0)
+    return losses, jax.device_get(state.params), (val_out, vb["gt"])
 
 
 def compare_params(final_sd, jax_params):
@@ -199,22 +278,71 @@ def compare_params(final_sd, jax_params):
     return worst, worst_key
 
 
-def run_parity(steps: int = 12, side: int = 32) -> dict:
-    t_losses, init_sd, final_sd = run_torch(steps, side)
-    j_losses, j_params = run_jax(steps, side, init_sd)
+def _val_metrics(out, gt):
+    """PSNR/SSIM of a trained model's val outputs (same function applied
+    to both sides' outputs, so the delta isolates the trained models)."""
+    import numpy as np
+
+    from lowlight_image_enhancement_tpu.metrics.psnr_ssim_img import (
+        calculate_psnr_img, calculate_ssim_img)
+
+    o8 = (np.clip(out, 0, 1) * 255.0).round().astype(np.uint8)
+    g8 = (np.clip(gt, 0, 1) * 255.0).round().astype(np.uint8)
+    psnr = float(np.mean([calculate_psnr_img(o, g, crop_border=0)
+                          for o, g in zip(o8, g8)]))
+    ssim = float(np.mean([calculate_ssim_img(o, g, crop_border=0)
+                          for o, g in zip(o8, g8)]))
+    return psnr, ssim
+
+
+def run_parity(steps: int = 12, side: int = 32, width: int = None,
+               use_perc: bool = False) -> dict:
+    import tempfile
+
+    geometry = dict(GEOMETRY)
+    if width:
+        geometry["width"] = width
+
+    torch_feats, vgg_npz = (None, None)
+    if use_perc:
+        tmpdir = tempfile.mkdtemp(prefix="parity_vgg_")
+        torch_feats, vgg_npz = make_shared_vgg(tmpdir)
+
+    t_losses, init_sd, final_sd, t_val = run_torch(
+        steps, side, geometry=geometry, torch_feats=torch_feats)
+    j_losses, j_params, j_val = run_jax(
+        steps, side, init_sd, geometry=geometry, vgg_npz=vgg_npz)
     rel = [abs(a - b) / max(abs(a), 1e-12)
            for a, b in zip(t_losses, j_losses)]
     dparam, dkey = compare_params(final_sd, j_params)
+    t_psnr, t_ssim = _val_metrics(*t_val)
+    j_psnr, j_ssim = _val_metrics(*j_val)
+    objective = f"l1_raw + {W_PHYS}*phys_srgb(mono P2)"
+    if use_perc:
+        objective += (f" + {W_PERC}*perceptual(shared random-init VGG19, "
+                      "identical weights both sides; deltaE/ssim terms "
+                      "excluded: the reference disables them without "
+                      "kornia, which this image lacks)")
     return {
-        "protocol": {"steps": steps, "side": side, "geometry": GEOMETRY,
-                     "objective": f"l1_raw + {W_PHYS}*phys_srgb(mono P2)",
+        "protocol": {"steps": steps, "side": side, "geometry": geometry,
+                     "objective": objective,
                      "optimizer": f"AdamW lr={LR} wd={WD} clip={CLIP}",
                      "dtype": "float32 (CPU, both sides)"},
-        "loss_torch": t_losses,
-        "loss_jax": j_losses,
+        "loss_torch": t_losses[:20] + (["..."] if steps > 20 else []),
+        "loss_jax": j_losses[:20] + (["..."] if steps > 20 else []),
+        "loss_torch_final": t_losses[-1],
+        "loss_jax_final": j_losses[-1],
         "max_rel_loss_diff": max(rel),
+        "final_rel_loss_diff": rel[-1],
         "final_param_max_abs_diff": dparam,
         "final_param_worst_leaf": dkey,
+        "val_psnr_torch": t_psnr, "val_psnr_jax": j_psnr,
+        "val_psnr_abs_diff": abs(t_psnr - j_psnr),
+        "val_ssim_torch": t_ssim, "val_ssim_jax": j_ssim,
+        "val_ssim_abs_diff": abs(t_ssim - j_ssim),
+        "targets": {"psnr_abs_diff": 0.05, "ssim_abs_diff": 0.001},
+        "pass": (abs(t_psnr - j_psnr) <= 0.05
+                 and abs(t_ssim - j_ssim) <= 0.001),
         "torch_loss_decreased": t_losses[-1] < t_losses[0],
         "jax_loss_decreased": j_losses[-1] < j_losses[0],
     }
@@ -224,12 +352,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--side", type=int, default=32)
+    ap.add_argument("--width", type=int, default=None,
+                    help="override trunk width (v2 protocol: 16)")
+    ap.add_argument("--perc", action="store_true",
+                    help="add the perceptual term with shared random-init "
+                         "VGG19 weights on both sides (v2 protocol)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     if not reference_available():
         print("reference checkout not found — nothing to compare against")
         sys.exit(2)
-    report = run_parity(args.steps, args.side)
+    # Both sides run on the host CPU. The hosted TPU plugin ignores a
+    # plain JAX_PLATFORMS=cpu; forcing CPU needs all three (conftest.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    report = run_parity(args.steps, args.side, width=args.width,
+                        use_perc=args.perc)
     out = json.dumps(report, indent=2, default=str)
     print(out)
     if args.json:
