@@ -18,7 +18,13 @@ comparison with round-2 numbers.
 denominator used here is the documented ESTIMATE of the reference PyTorch
 recipe on A100 (batch-2 512^2 NAFNet-w32 AMP ~= 8 steps/s) recorded in
 BASELINE.md's north-star discussion — replace with a measured value when a
-reference reproduction exists.
+reference reproduction exists. The framework-cost half of that estimate is
+now measured (``tools/measure_baseline_cpu.py`` ->
+``baseline_cpu_calibration.json``): the identical step graph runs 3.16x
+FASTER under the reference's torch stack than under XLA on this host's
+CPU, i.e. the torch reference is not framework-handicapped and the 8.0
+denominator is conservative in the reference's favour. MFU/FLOPs in
+``detail`` are the directly falsifiable hardware numbers.
 """
 
 from __future__ import annotations

@@ -58,6 +58,14 @@ def _s2d_stem_kernel(kernel):
     stock lowering of a 3-channel conv (and especially its input
     gradient, a transposed conv with THREE output lanes) leaves the MXU
     ~95% idle at 512^2; in s2d space the contraction is 12->256 lanes.
+
+    Measured on v5e and REJECTED as a default (``LLIE_VGG_S2D_STEM=1``
+    keeps it available): the conv fusions do get faster (full-step
+    ``fusion`` bucket 15.5 -> 10.5 ms) but the s2d/d2s boundaries
+    materialize as data-formatting copies that cost more than the win —
+    isolated perceptual value+grad 18.4 -> 24.2 ms
+    (``tools/bench_vgg.py``). Kept for the exact-relayout machinery,
+    which the fused stage-1 kernel reuses conceptually.
     """
     kh, kw, ci, co = kernel.shape
     assert (kh, kw) == (3, 3), "s2d stem expects a 3x3 kernel"
@@ -154,7 +162,7 @@ class VGG19Features(nn.Module):
         x = x.astype(self.dtype)
 
         reorder = os.environ.get("LLIE_VGG_POOL_FIRST", "1") != "0"
-        s2d_stem = os.environ.get("LLIE_VGG_S2D_STEM", "1") != "0"
+        s2d_stem = os.environ.get("LLIE_VGG_S2D_STEM", "0") == "1"
         outputs: Dict[str, Array] = {}
         for stage, (feat, n_convs) in enumerate(_VGG19_CFG, start=1):
             pooled = False
