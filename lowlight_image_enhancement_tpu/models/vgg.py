@@ -109,6 +109,86 @@ def _depth_to_space(x, c_out: int):
     return x.reshape(n, h2 * 2, w2 * 2, c_out)
 
 
+@jax.custom_vjp
+def _phase_max(x4: Array) -> Array:
+    """Max over the 4 s2d phases: ``[N, H2, W2, 4, C] -> [N, H2, W2, C]``.
+
+    With phase order (py, px) this IS the full-res 2x2/stride-2 max pool
+    of the depth-to-space tensor — computing it in s2d space exits a
+    space-to-depth stage back into the native layout with **no
+    depth-to-space copy at all** (the boundary cost that sank the
+    round-3 conv1_1-only s2d stem, see :func:`_s2d_stem_kernel`).
+
+    The VJP routes the gradient to the FIRST phase attaining the max —
+    torch ``MaxPool2d`` / XLA select-and-scatter tie semantics (window
+    scan order (0,0),(0,1),(1,0),(1,1) = phase order), matching
+    ``ops/image_ops.max_pool_2x2``. All-NaN windows drop the gradient,
+    same as the stock lowering.
+    """
+    return jnp.max(x4, axis=3)
+
+
+def _phase_max_fwd(x4):
+    m = jnp.max(x4, axis=3)
+    return m, (x4, m)
+
+
+def _phase_max_bwd(res, g):
+    x4, m = res
+    eq = x4 >= m[:, :, :, None, :]
+    first = jnp.cumsum(eq.astype(jnp.int32), axis=3) == 1
+    gx = jnp.where(eq & first, g[:, :, :, None, :], 0).astype(x4.dtype)
+    return (gx,)
+
+
+_phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
+
+
+def _phase_max_pool(x: Array, c_out: int) -> Array:
+    """2x2/s2 max pool of the underlying full-res tensor, computed on its
+    s2d(2) representation ``[N, H2, W2, 4*c_out]`` (phase-major channels).
+    Output is in NATIVE layout ``[N, H2, W2, c_out]``."""
+    n, h2, w2, _ = x.shape
+    return _phase_max(x.reshape(n, h2, w2, 4, c_out))
+
+
+class _S2DConv(nn.Module):
+    """A 3x3 SAME conv computed entirely in space-to-depth(2) space.
+
+    Input ``[N, H2, W2, 4*in_ch]`` and output ``[N, H2, W2, 4*features]``
+    both stay in s2d layout (phase-major); the param tree is identical to
+    the stock ``nn.Conv`` (full-res ``(3, 3, in_ch, features)`` kernel),
+    so converted torchvision checkpoints load unchanged. The relayouted
+    kernel (:func:`_s2d_stem_kernel`) is a fixed linear function of the
+    frozen params, so XLA constant-folds it at compile time.
+
+    Why: VGG stages 1-2 have 64/128 channels at 512^2/256^2 — the stock
+    lowering underfills MXU lanes and the conv1_1 input-gradient
+    (a transposed conv with THREE output lanes) is ~95% idle. In s2d
+    space every contraction is >=12->256 lanes wide at 1/4 the spatial
+    size. Unlike the rejected conv1_1-only stem (round 3), whole stages
+    run here and the stage-final pool exits via :func:`_phase_max_pool`,
+    so no depth-to-space boundary copy ever materializes.
+    """
+
+    features: int
+    in_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ks = _s2d_stem_kernel(kernel.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), ks, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias.astype(self.dtype), 4)
+
+
 class _StemS2DConv(nn.Module):
     """conv1_1 with the SAME param tree as ``nn.Conv`` but computed in
     space-to-depth(2) space when the spatial dims are even (exact; see
@@ -163,8 +243,33 @@ class VGG19Features(nn.Module):
 
         reorder = os.environ.get("LLIE_VGG_POOL_FIRST", "1") != "0"
         s2d_stem = os.environ.get("LLIE_VGG_S2D_STEM", "0") == "1"
+        s2d_stages = int(os.environ.get("LLIE_VGG_S2D_STAGES", "0"))
         outputs: Dict[str, Array] = {}
         for stage, (feat, n_convs) in enumerate(_VGG19_CFG, start=1):
+            # Whole-stage s2d lowering (see _S2DConv): only for stages that
+            # end in a pool (the phase-max pool is the free layout exit)
+            # and even spatial dims.
+            if (stage <= s2d_stages and stage < len(_VGG19_CFG)
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                in_ch = x.shape[-1]
+                x = _space_to_depth(x)
+                for ci in range(1, n_convs + 1):
+                    x = _S2DConv(features=feat, in_ch=in_ch,
+                                 dtype=self.dtype,
+                                 name=f"conv{stage}_{ci}")(x)
+                    in_ch = feat
+                    name = f"relu{stage}_{ci}"
+                    last = ci == n_convs
+                    if last and name not in self.taps and reorder:
+                        # pool-before-relu (commutes; see the stock path)
+                        x = nn.relu(_phase_max_pool(x, feat))
+                    else:
+                        x = nn.relu(x)
+                        if name in self.taps:
+                            outputs[name] = _depth_to_space(x, feat)
+                        if last:
+                            x = _phase_max_pool(x, feat)
+                continue
             pooled = False
             for ci in range(1, n_convs + 1):
                 if stage == 1 and ci == 1 and s2d_stem:
