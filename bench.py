@@ -6,20 +6,29 @@ physics PSF term, ``configs/colab/sid_newbp_mono.yml:65-96``), plus
 inference ms/image at 1x3x256x256 (the reference latency protocol,
 ``metrics/inference_time.py:16-75``) in the ``detail`` field.
 
+**Deadline contract.** The whole run operates under a hard wall-clock
+budget (``$LLIE_BENCH_DEADLINE_S``, default 780 s — well inside the
+driver's kill window). A watchdog thread guarantees the single JSON line
+is printed even if a measurement hangs (dead tunnel mid-run, cold
+compile overrun): at the deadline it emits whatever has been measured so
+far — with the most recent recorded on-chip result attached under
+``detail.last_measured`` — and exits 0. The headline full-recipe step is
+measured FIRST so a partial emit still carries the most important
+number. Optional variants (no-perceptual step, the s2d NAFNetTPU
+variant, multi-chip data parallel) run only with ``$LLIE_BENCH_EXTRAS=1``
+and only inside the remaining budget.
+
 The perceptual term runs the full VGG19 relu5_4 trunk with the
 deterministic random-init weights (no pretrained npz ships in this
 environment — no egress). VGG's step-time COST does not depend on weight
 values, so this measures the true full-recipe step time; quality-wise the
-random trunk changes the objective (documented in BASELINE.md). The
-no-perceptual step time is reported alongside in ``detail`` for
-comparison with round-2 numbers.
+random trunk changes the objective (documented in BASELINE.md).
 
 ``vs_baseline``: the reference publishes NO numbers (see BASELINE.md); the
 denominator used here is the documented ESTIMATE of the reference PyTorch
 recipe on A100 (batch-2 512^2 NAFNet-w32 AMP ~= 8 steps/s) recorded in
-BASELINE.md's north-star discussion — replace with a measured value when a
-reference reproduction exists. The framework-cost half of that estimate is
-now measured (``tools/measure_baseline_cpu.py`` ->
+BASELINE.md's north-star discussion. The framework-cost half of that
+estimate is measured (``tools/measure_baseline_cpu.py`` ->
 ``baseline_cpu_calibration.json``): the identical step graph runs 3.16x
 FASTER under the reference's torch stack than under XLA on this host's
 CPU, i.e. the torch reference is not framework-handicapped and the 8.0
@@ -33,6 +42,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import jax
@@ -53,6 +63,87 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_STEPS_PER_SEC_ESTIMATE = 8.0
+
+# ---------------------------------------------------------------------------
+# Hard wall-clock budget. The driver kills bench.py after an (unpublished)
+# timeout — round 4's run died at rc=124 with no JSON line. Everything below
+# consults _remaining(); the watchdog is the backstop for hangs.
+# ---------------------------------------------------------------------------
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("LLIE_BENCH_DEADLINE_S", "780"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+# Indirection for tests: the watchdog's hard-exit (os._exit semantics).
+_EXIT = os._exit
+
+# Measurement subprocesses currently in flight — the watchdog kills these
+# before exiting so a deadline doesn't orphan a child that keeps burning
+# the host CPU (or holding the TPU) after the parent is gone.
+_ACTIVE_CHILDREN: set = set()
+
+
+def _run_child(cmd, timeout):
+    """subprocess.run equivalent that registers the child for the
+    watchdog's cleanup."""
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    _ACTIVE_CHILDREN.add(p)
+    try:
+        out, err = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
+        raise
+    finally:
+        _ACTIVE_CHILDREN.discard(p)
+    return subprocess.CompletedProcess(cmd, p.returncode, out, err)
+
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+# Incrementally-updated result snapshot: whatever is in here when the
+# deadline fires is what gets printed. Stages below update it in place.
+_RESULT: dict = {}
+
+
+def _emit() -> None:
+    """Print the single JSON line exactly once (thread-safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _start_watchdog() -> None:
+    def _watch():
+        delay = _remaining()
+        if delay > 0:
+            time.sleep(delay)
+        if not _EMITTED:
+            _RESULT.setdefault("detail", {})["deadline_note"] = (
+                f"wall-clock budget of {_BUDGET_S:.0f}s reached; emitting "
+                "partial results (stages measured so far are present, "
+                "later stages were skipped or cut off)"
+            )
+            _emit()
+            for p in list(_ACTIVE_CHILDREN):
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            # A hung backend call cannot be interrupted — hard-exit so the
+            # driver records the line instead of killing us at rc=124.
+            _EXIT(0)
+
+    t = threading.Thread(target=_watch, daemon=True, name="bench-deadline")
+    t.start()
+
 
 # Peak dense-matmul throughput (bf16 FLOP/s) by TPU device kind, for MFU.
 # Sources: public TPU system specs (v5e 197, v4 275, v5p 459, v6e 918
@@ -78,10 +169,15 @@ def _device_peak_flops() -> float | None:
     return best[1] if best else None
 
 
-def _model_flops_per_step(state, batch, use_perc: bool) -> float | None:
+def _model_flops_inprocess(mode: str) -> float | None:
     """MODEL FLOPs of one optimizer step via XLA cost analysis of the
     pure-XLA (unfused) graph (SURVEY C42's TPU contract:
     ``metrics/flops_utils.py`` / ``jit(...).lower(...).cost_analysis()``).
+
+    MUST run on the CPU backend: pre-compile ``lower().cost_analysis()``
+    returns None on the hosted TPU plugin (measured), and compiling the
+    unfused graph just to count it would cost minutes of budget — so
+    ``main()`` invokes this through a forced-CPU ``--flops-probe`` child.
 
     The unfused graph is used on purpose: (a) Pallas custom calls report
     zero FLOPs to cost analysis, so counting the fused graph undercounts;
@@ -91,30 +187,69 @@ def _model_flops_per_step(state, batch, use_perc: bool) -> float | None:
     numerator. Fused/unfused math parity is exact-tested
     (tests/test_fused_nafblock.py, tests/test_flat_trunk.py).
 
-    Only ``lower()`` + ``cost_analysis()`` run (no backend compile):
-    ~15 s host time, shape-dependent only.
+    Everything is shape-abstract (``jax.eval_shape`` state, abstract
+    batch): only tracing + HLO cost analysis run, no compile, no device.
+    ``mode``: "perc" | "noperc" | "s2d".
     """
     try:
         from lowlight_image_enhancement_tpu.losses import HybridLossPlus
-        from lowlight_image_enhancement_tpu.models import create_newbp_net
+        from lowlight_image_enhancement_tpu.models import (
+            create_newbp_net,
+            define_network,
+        )
         from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
-        from lowlight_image_enhancement_tpu.training import make_train_step
+        from lowlight_image_enhancement_tpu.training import (
+            create_train_state,
+            make_train_step,
+        )
 
-        net = create_newbp_net(
-            nafnet_params=dict(NAFNET_PARAMS, fused_blocks=False,
-                               flat_trunk=False),
-            dtype=jnp.bfloat16)
+        if mode == "s2d":
+            net = define_network({
+                "type": "NAFNetTPU", "width": 32,
+                "enc_blk_nums": (2, 2, 4, 8), "middle_blk_num": 12,
+                "dec_blk_nums": (2, 2, 2, 2), "dtype": jnp.bfloat16,
+            })
+        else:
+            net = create_newbp_net(
+                nafnet_params=dict(NAFNET_PARAMS, fused_blocks=False,
+                                   flat_trunk=False),
+                dtype=jnp.bfloat16)
         loss = HybridLossPlus(
-            use_perc=use_perc, use_deltaE=True, use_ssim=False,
+            use_perc=mode == "perc", use_deltaE=True, use_ssim=False,
             perc_dtype=jnp.bfloat16,
             physics_psf_module=create_crosstalk_psf("mono", "P2"))
         tx = make_optimizer_for_flops()
+        state = jax.eval_shape(lambda: create_train_state(
+            net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            loss=loss))
+        batch = jax.eval_shape(_flagship_batch)
         step = make_train_step(net, loss, tx, donate=False)
         return _lowered_flops(step, state, batch)
     except Exception as e:
         print(f"bench: model-FLOPs count failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         return None
+
+
+def measure_flops(mode: str) -> float | None:
+    """Model FLOPs/step for ``mode``, counted in a forced-CPU child (see
+    _model_flops_inprocess for why CPU)."""
+    try:
+        p = _run_child(
+            [sys.executable, os.path.abspath(__file__),
+             "--flops-probe", mode],
+            timeout=max(30.0, min(300.0, _remaining() - 45.0)),
+        )
+        for ln in p.stdout.splitlines():
+            if ln.startswith("FLOPS "):
+                v = float(ln.split()[1])
+                return v if v > 0 else None
+        print(f"bench: flops probe [{mode}] produced no result "
+              f"(rc={p.returncode}); tail: "
+              + (p.stdout + p.stderr)[-400:], file=sys.stderr)
+    except Exception as e:
+        print(f"bench: flops probe [{mode}] failed ({e})", file=sys.stderr)
+    return None
 
 
 def _lowered_flops(step, state, batch) -> float | None:
@@ -181,8 +316,7 @@ def _flagship_batch():
 
 
 def measure_train_inprocess(use_perc: bool, runs: int = 20):
-    """(seconds/step, model FLOPs/step or None) for the recipe
-    with/without the perceptual term.
+    """seconds/step for the recipe with/without the perceptual term.
 
     Two independent measurement rounds; report the SLOWER one. The
     hosted tunnel occasionally mis-serializes a burst (observed once:
@@ -227,13 +361,11 @@ def measure_train_inprocess(use_perc: bool, runs: int = 20):
             state, logs = step(state, batch)
         jax.block_until_ready(logs["l_total"])
         round_s.append((time.perf_counter() - t0) / runs)
-    flops = _model_flops_per_step(state, batch, use_perc)
-    return max(round_s), flops
+    return max(round_s)
 
 
 def measure_train(use_perc: bool):
-    """(seconds/step, model FLOPs/step or None), measured in a FRESH
-    subprocess.
+    """seconds/step, measured in a FRESH subprocess.
 
     Same-process sequential measurements contaminate each other on this
     backend (observed: the no-perc step measuring ~50 ms instead of ~33
@@ -241,24 +373,22 @@ def measure_train(use_perc: bool):
     fragmentation pressure from the retired executables). A child
     process gives every measurement a clean device heap; the persistent
     compile cache keeps the re-compile cheap. Falls back to in-process
-    measurement if the child fails for any reason.
+    measurement if the child fails for any reason. The subprocess
+    timeout is bounded by the remaining wall budget (minus a margin for
+    the fallback + emit) so a cold-compile overrun degrades to a partial
+    emit instead of a driver-side kill.
     """
     mode = "perc" if use_perc else "noperc"
+    child_timeout = max(30.0, _remaining() - 60.0)
     try:
-        p = subprocess.run(
+        p = _run_child(
             [sys.executable, os.path.abspath(__file__),
              "--train-probe", mode],
-            capture_output=True, text=True, timeout=3600,
+            timeout=child_timeout,
         )
-        s = flops = None
         for ln in p.stdout.splitlines():
             if ln.startswith("TRAIN_S "):
-                s = float(ln.split()[1])
-            elif ln.startswith("TRAIN_FLOPS "):
-                v = float(ln.split()[1])
-                flops = v if v > 0 else None
-        if s is not None:
-            return s, flops
+                return float(ln.split()[1])
         print(f"bench: train probe [{mode}] produced no result "
               f"(rc={p.returncode}); falling back to in-process. tail: "
               + (p.stdout + p.stderr)[-800:], file=sys.stderr)
@@ -268,14 +398,17 @@ def measure_train(use_perc: bool):
     return measure_train_inprocess(use_perc)
 
 
-def _probe_backend(attempts: int = 3, timeout_s: float = 240.0):
+def _probe_backend(attempts: int = 3, timeout_s: float | None = None):
     """Bounded backend-reachability check (see utils/backend_probe.py):
     a dead tunnel hangs backend init, which would leave the driver's
-    bench invocation wedged with no JSON line ever printed."""
+    bench invocation wedged with no JSON line ever printed. The probe
+    budget is capped by the remaining wall budget."""
     from lowlight_image_enhancement_tpu.utils.backend_probe import (
         probe_backend,
     )
 
+    if timeout_s is None:
+        timeout_s = min(240.0, max(20.0, _remaining() / 3.0 - 10.0))
     return probe_backend(attempts=attempts, timeout_s=timeout_s)
 
 
@@ -307,54 +440,29 @@ def _load_last_good():
 
 
 def main() -> None:
+    # Seed the result snapshot with the honest-failure record; every
+    # measured stage below overwrites its piece. If nothing lands before
+    # the deadline, this is what gets printed.
+    _RESULT.update({
+        "metric": "sid512_train_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "steps/s (batch 2, 512^2, bf16, FULL recipe incl. "
+                "VGG19 perceptual)",
+        "vs_baseline": 0.0,
+        "detail": {
+            "error": "no measurement completed before the wall budget",
+            "last_measured": _load_last_good(),
+        },
+    })
+    detail = _RESULT["detail"]
+    _start_watchdog()
+
     if _probe_backend() is None:
-        # Still emit the contract's single JSON line; an honest zero with
-        # an error note beats a driver-side hang/timeout with no record.
-        # `last_measured` points the reader at the most recent real
-        # on-chip measurement so a dead tunnel at round end doesn't erase
-        # the framework's actual perf record.
-        print(json.dumps({
-            "metric": "sid512_train_steps_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "steps/s (batch 2, 512^2, bf16, FULL recipe incl. "
-                    "VGG19 perceptual)",
-            "vs_baseline": 0.0,
-            "detail": {
-                "error": "no JAX backend reachable (TPU tunnel down?) — "
-                         "backend init hung past the probe timeout; "
-                         "measurement impossible this run",
-                "last_measured": _load_last_good(),
-            },
-        }))
+        detail["error"] = (
+            "no JAX backend reachable (TPU tunnel down?) — backend init "
+            "hung past the probe timeout; measurement impossible this run")
+        _emit()
         return
-
-    from lowlight_image_enhancement_tpu.losses import HybridLossPlus
-    from lowlight_image_enhancement_tpu.metrics.inference_time import (
-        measure_inference_time,
-    )
-    from lowlight_image_enhancement_tpu.models import create_newbp_net
-    from lowlight_image_enhancement_tpu.ops.psf import create_crosstalk_psf
-    from lowlight_image_enhancement_tpu.training import (
-        create_train_state,
-        make_optimizer,
-        make_schedule,
-        make_train_step,
-    )
-
-    nafnet_params = NAFNET_PARAMS
-
-    import gc
-
-    runs = 20
-
-    # --- training throughput: batch 2, 512x512, bf16 — each measured in a
-    # fresh subprocess (see measure_train) ---
-    # Headline: the FULL reference recipe (perceptual term included,
-    # random-init VGG trunk — same FLOPs as pretrained).
-    train_s, flops_full = measure_train(use_perc=True)
-    steps_per_sec = 1.0 / train_s
-    # Round-2-comparable number (recipe minus the perceptual term).
-    train_s_noperc, flops_noperc = measure_train(use_perc=False)
 
     peak = _device_peak_flops()
 
@@ -371,105 +479,171 @@ def main() -> None:
             out["mfu_pct"] = round(100.0 * flops / secs / peak, 2)
         return out
 
-    # --- in-process setup for the remaining (variant) measurements ---
-    net = create_newbp_net(nafnet_params=nafnet_params, dtype=jnp.bfloat16)
-    schedule = make_schedule(
-        {"type": "TrueCosineAnnealingLR", "T_max": 300000, "eta_min": 1e-6},
-        base_lr=5e-4,
-    )
-    tx = make_optimizer(schedule)
-    rng = np.random.default_rng(0)
+    # --- STAGE 1 (headline, always first): FULL-recipe training step,
+    # batch 2, 512x512, bf16, perceptual term included (random-init VGG
+    # trunk — same FLOPs as pretrained), in a fresh subprocess.
+    train_s = measure_train(use_perc=True)
+    steps_per_sec = 1.0 / train_s
+    _RESULT["value"] = round(steps_per_sec, 4)
+    _RESULT["vs_baseline"] = round(
+        steps_per_sec / A100_REFERENCE_STEPS_PER_SEC_ESTIMATE, 4)
+    detail.pop("error", None)
+    detail.pop("last_measured", None)
+    detail["train_step_ms"] = round(train_s * 1e3, 3)
+    detail["peak_bf16_tflops"] = (peak / 1e12) if peak else None
+    detail["device"] = str(jax.devices()[0])
+    detail["baseline_note"] = (
+        "reference publishes no numbers; vs_baseline uses the documented "
+        f"A100 estimate of {A100_REFERENCE_STEPS_PER_SEC_ESTIMATE} steps/s")
+
+    # Persist the headline IMMEDIATELY (not at exit): a later hang must
+    # not erase this run's real on-chip record.
+    _persist_last_good()
+
+    # --- STAGE 1b: model FLOPs -> MFU for the headline (forced-CPU
+    # child; pre-compile cost analysis is unsupported on the TPU plugin).
+    if _remaining() > 90.0:
+        detail["mfu_full_recipe"] = _mfu(measure_flops("perc"), train_s)
+
+    # --- STAGE 2: inference latency 1x256x256x3, reference protocol
+    # (20 warmup + 100 timed). Runs are CHAINED (each input is the
+    # previous output) so the measurement reflects true serial latency
+    # even on backends that execute independent dispatches concurrently.
+    if _remaining() > 60.0:
+        try:
+            from lowlight_image_enhancement_tpu.models import (
+                create_newbp_net,
+            )
+
+            rng = np.random.default_rng(0)
+            infer_net = create_newbp_net(nafnet_params=NAFNET_PARAMS,
+                                         dtype=jnp.bfloat16)
+            x = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)),
+                            dtype=jnp.float32)
+            variables = infer_net.init(jax.random.PRNGKey(0), x)
+            fwd = jax.jit(
+                lambda p, xx: jnp.clip(
+                    infer_net.apply({"params": p}, xx), 0.0, 1.0)
+            )
+            y = x
+            for _ in range(20):
+                y = fwd(variables["params"], y)
+            jax.block_until_ready(y)
+            lat_rounds = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(100):
+                    y = fwd(variables["params"], y)
+                jax.block_until_ready(y)
+                lat_rounds.append((time.perf_counter() - t0) * 1e3 / 100)
+            detail["infer_ms_per_image_256"] = round(max(lat_rounds), 3)
+            del variables, fwd, y
+        except Exception as e:
+            print(f"bench: latency stage failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # --- STAGE 3 (opt-in, $LLIE_BENCH_EXTRAS=1): variants. Each checks
+    # the remaining budget; the emit below happens regardless.
+    if os.environ.get("LLIE_BENCH_EXTRAS") == "1":
+        _measure_extras(detail, _mfu)
+
+    _emit()
+
+
+def _measure_extras(detail: dict, _mfu) -> None:
+    """Opt-in variant measurements: no-perceptual recipe, the
+    space-to-depth NAFNetTPU variant, multi-chip data parallel."""
+    import gc
+
+    runs = 20
     batch = _flagship_batch()
 
-    loss = HybridLossPlus(
-        use_perc=False,
-        use_deltaE=True,
-        use_ssim=False,
-        physics_psf_module=create_crosstalk_psf("mono", "P2"),
-    )
-
-    # --- inference latency: 1x256x256x3, reference protocol (20 warmup +
-    # 100 timed). Runs are CHAINED (each input is the previous output) so
-    # the measurement reflects true serial latency even on backends that
-    # execute independent dispatches concurrently.
-    infer_net = create_newbp_net(nafnet_params=nafnet_params,
-                                 dtype=jnp.bfloat16)
-    x = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), dtype=jnp.float32)
-    variables = infer_net.init(jax.random.PRNGKey(0), x)
-    fwd = jax.jit(
-        lambda p, xx: jnp.clip(infer_net.apply({"params": p}, xx), 0.0, 1.0)
-    )
-    y = x
-    for _ in range(20):
-        y = fwd(variables["params"], y)
-    jax.block_until_ready(y)
-    lat_rounds = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(100):
-            y = fwd(variables["params"], y)
-        jax.block_until_ready(y)
-        lat_rounds.append((time.perf_counter() - t0) * 1e3 / 100)
-    lat = {"ms_per_image": max(lat_rounds)}
-
-    # --- optional: the space-to-depth TPU-layout variant (same protocol,
-    # capacity-matched params; see BASELINE.md) ---
-    # Free the inference model's device buffers first — resident buffers
-    # constrain the s2d executable's buffer assignment (the headline train
-    # states live in the probe subprocesses and are already gone).
-    del variables, fwd, y
-    gc.collect()
-    s2d_steps_per_sec = None
-    s2d_flops = None
-    try:
-        from lowlight_image_enhancement_tpu.models import define_network
-
-        s2d_net = define_network({
-            "type": "NAFNetTPU", "width": 32,
-            "enc_blk_nums": (2, 2, 4, 8), "middle_blk_num": 12,
-            "dec_blk_nums": (2, 2, 2, 2), "dtype": jnp.bfloat16,
-        })
-        s2d_state = create_train_state(
-            s2d_net, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-            loss=loss,
-        )
-        s2d_step = make_train_step(s2d_net, loss, tx, donate=True)
-        for _ in range(3):
-            s2d_state, s2d_logs = s2d_step(s2d_state, batch)
-        jax.block_until_ready(s2d_logs["l_total"])
-        t0 = time.perf_counter()
-        for _ in range(runs):
-            s2d_state, s2d_logs = s2d_step(s2d_state, batch)
-        jax.block_until_ready(s2d_logs["l_total"])
-        s2d_steps_per_sec = runs / (time.perf_counter() - t0)
+    if _remaining() > 120.0:
         try:
-            s2d_flops_step = make_train_step(s2d_net, loss, tx,
-                                             donate=False)
-            s2d_flops = _lowered_flops(s2d_flops_step, s2d_state, batch)
+            train_s_noperc = measure_train(use_perc=False)
+            detail["train_step_ms_no_perc"] = round(train_s_noperc * 1e3, 3)
+            detail["steps_per_sec_no_perc"] = round(1.0 / train_s_noperc, 4)
+            if _remaining() > 90.0:
+                detail["mfu_no_perc"] = _mfu(measure_flops("noperc"),
+                                             train_s_noperc)
         except Exception as e:
-            print(f"bench: s2d FLOPs count failed: {e}", file=sys.stderr)
-            s2d_flops = None
-    except Exception as e:
-        # the headline metric must never fail on the variant — but a
-        # silent null hides a broken path; surface it on stderr
-        print(f"bench: s2d variant failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+            print(f"bench: no-perc stage failed: {e}", file=sys.stderr)
 
-    # --- optional: data-parallel scaling over all visible chips. Only
-    # meaningful on real multi-chip hosts; on the single-chip tunnel this
-    # block is skipped. Global batch = 2 x n_devices (weak scaling).
-    dp = None
-    try:
-        ndev = len(jax.devices())
-        if ndev > 1:
+    # the space-to-depth TPU-layout variant (same protocol,
+    # capacity-matched params; see BASELINE.md)
+    if _remaining() > 120.0:
+        try:
+            from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+            from lowlight_image_enhancement_tpu.models import define_network
+            from lowlight_image_enhancement_tpu.ops.psf import (
+                create_crosstalk_psf,
+            )
+            from lowlight_image_enhancement_tpu.training import (
+                create_train_state,
+                make_train_step,
+            )
+
+            gc.collect()
+            loss = HybridLossPlus(
+                use_perc=False, use_deltaE=True, use_ssim=False,
+                physics_psf_module=create_crosstalk_psf("mono", "P2"),
+            )
+            tx = make_optimizer_for_flops()
+            s2d_net = define_network({
+                "type": "NAFNetTPU", "width": 32,
+                "enc_blk_nums": (2, 2, 4, 8), "middle_blk_num": 12,
+                "dec_blk_nums": (2, 2, 2, 2), "dtype": jnp.bfloat16,
+            })
+            s2d_state = create_train_state(
+                s2d_net, tx, jax.random.PRNGKey(0),
+                jnp.zeros((1, 64, 64, 3)), loss=loss,
+            )
+            s2d_step = make_train_step(s2d_net, loss, tx, donate=True)
+            for _ in range(3):
+                s2d_state, s2d_logs = s2d_step(s2d_state, batch)
+            jax.block_until_ready(s2d_logs["l_total"])
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                s2d_state, s2d_logs = s2d_step(s2d_state, batch)
+            jax.block_until_ready(s2d_logs["l_total"])
+            sps = runs / (time.perf_counter() - t0)
+            detail["nafnet_tpu_s2d_steps_per_sec_no_perc"] = round(sps, 4)
+            if _remaining() > 90.0:
+                detail["mfu_s2d_no_perc"] = _mfu(measure_flops("s2d"),
+                                                 1.0 / sps)
+        except Exception as e:
+            print(f"bench: s2d variant failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # data-parallel scaling over all visible chips. Only meaningful on
+    # real multi-chip hosts; on the single-chip tunnel this is skipped.
+    if _remaining() > 120.0 and len(jax.devices()) > 1:
+        try:
+            from lowlight_image_enhancement_tpu.losses import HybridLossPlus
+            from lowlight_image_enhancement_tpu.models import (
+                create_newbp_net,
+            )
+            from lowlight_image_enhancement_tpu.ops.psf import (
+                create_crosstalk_psf,
+            )
             from lowlight_image_enhancement_tpu.parallel import (
                 create_mesh,
                 shard_batch,
             )
             from lowlight_image_enhancement_tpu.training import (
+                create_train_state,
+                make_train_step,
                 put_replicated,
             )
 
+            ndev = len(jax.devices())
+            net = create_newbp_net(nafnet_params=NAFNET_PARAMS,
+                                   dtype=jnp.bfloat16)
+            loss = HybridLossPlus(
+                use_perc=False, use_deltaE=True, use_ssim=False,
+                physics_psf_module=create_crosstalk_psf("mono", "P2"),
+            )
+            tx = make_optimizer_for_flops()
             mesh = create_mesh(ndev)
             big = {
                 k: jnp.concatenate([v] * ndev, axis=0)
@@ -490,72 +664,37 @@ def main() -> None:
                 dp_state, dp_logs = dp_step(dp_state, sbatch)
             jax.block_until_ready(dp_logs["l_total"])
             dp_sps = runs / (time.perf_counter() - t0)
-            dp = {
+            detail["data_parallel"] = {
                 "n_devices": ndev,
                 "global_batch": 2 * ndev,
                 "steps_per_sec": round(dp_sps, 4),
                 "images_per_sec": round(dp_sps * 2 * ndev, 2),
             }
-    except Exception as e:  # protect the headline metric, but surface it
-        import traceback
+        except Exception as e:
+            import traceback
 
-        traceback.print_exc(file=sys.stderr)
-        dp = {"error": f"{type(e).__name__}: {e}"}
+            traceback.print_exc(file=sys.stderr)
+            detail["data_parallel"] = {"error": f"{type(e).__name__}: {e}"}
 
-    result = {
-        "metric": "sid512_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s (batch 2, 512^2, bf16, FULL recipe incl. "
-                "VGG19 perceptual)",
-        "vs_baseline": round(
-            steps_per_sec / A100_REFERENCE_STEPS_PER_SEC_ESTIMATE, 4
-        ),
-        "detail": {
-            "train_step_ms": round(train_s * 1e3, 3),
-            "train_step_ms_no_perc": round(train_s_noperc * 1e3, 3),
-            "steps_per_sec_no_perc": round(1.0 / train_s_noperc, 4),
-            "infer_ms_per_image_256": round(lat["ms_per_image"], 3),
-            "nafnet_tpu_s2d_steps_per_sec_no_perc": (
-                round(s2d_steps_per_sec, 4) if s2d_steps_per_sec else None
-            ),
-            # Model-FLOPs utilization (VERDICT r3 #2): flops counted on
-            # the pure-XLA unfused graph (exact math parity with the
-            # fused kernels; recompute excluded), peak = device bf16
-            # dense peak (_TPU_PEAK_BF16_FLOPS).
-            "mfu_full_recipe": _mfu(flops_full, train_s),
-            "mfu_no_perc": _mfu(flops_noperc, train_s_noperc),
-            "mfu_s2d_no_perc": _mfu(
-                s2d_flops,
-                1.0 / s2d_steps_per_sec if s2d_steps_per_sec else None),
-            "peak_bf16_tflops": (peak / 1e12) if peak else None,
-            "data_parallel": dp,
-            "device": str(jax.devices()[0]),
-            "baseline_note": (
-                "reference publishes no numbers; vs_baseline uses the "
-                "documented A100 estimate of "
-                f"{A100_REFERENCE_STEPS_PER_SEC_ESTIMATE} steps/s"
-            ),
-        },
-    }
-    print(json.dumps(result))
 
-    # Persist this successful measurement for the dead-tunnel path of
-    # future runs (best-effort; never jeopardize the printed contract).
-    # Smoke configurations must not overwrite a real on-chip record.
+def _persist_last_good() -> None:
+    """Persist the current headline for the dead-tunnel path of future
+    runs (best-effort; never jeopardize the printed contract). Smoke
+    configurations must not overwrite a real on-chip record."""
     if (os.environ.get("LLIE_BENCH_FORCE_CPU")
             or os.environ.get("LLIE_BENCH_SIDE")):
+        return
+    if not _RESULT.get("value"):
         return
     try:
         with open(_LAST_GOOD_PATH, "w") as f:
             json.dump({
-                "value": result["value"],
-                "vs_baseline": result["vs_baseline"],
-                "train_step_ms": result["detail"]["train_step_ms"],
-                "train_step_ms_no_perc":
-                    result["detail"]["train_step_ms_no_perc"],
+                "value": _RESULT["value"],
+                "vs_baseline": _RESULT["vs_baseline"],
+                "train_step_ms": _RESULT["detail"].get("train_step_ms"),
                 "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                              time.gmtime()),
-                "device": result["detail"]["device"],
+                "device": _RESULT["detail"].get("device"),
                 "source": "previous successful bench.py run",
             }, f)
             f.write("\n")
@@ -566,8 +705,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--train-probe":
-        s, flops = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
+        s = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
         print(f"TRAIN_S {s:.9f}", flush=True)
-        print(f"TRAIN_FLOPS {flops if flops else 0:.1f}", flush=True)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--flops-probe":
+        # Forced CPU: pre-compile cost analysis works there and nothing
+        # device-side is needed (all tracing is shape-abstract).
+        jax.config.update("jax_platforms", "cpu")
+        flops = _model_flops_inprocess(sys.argv[2])
+        print(f"FLOPS {flops if flops else 0:.1f}", flush=True)
     else:
         main()

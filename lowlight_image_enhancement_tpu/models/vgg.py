@@ -122,8 +122,17 @@ def _phase_max(x4: Array) -> Array:
     The VJP routes the gradient to the FIRST phase attaining the max —
     torch ``MaxPool2d`` / XLA select-and-scatter tie semantics (window
     scan order (0,0),(0,1),(1,0),(1,1) = phase order), matching
-    ``ops/image_ops.max_pool_2x2``. All-NaN windows drop the gradient,
-    same as the stock lowering.
+    ``ops/image_ops.max_pool_2x2`` on finite inputs.
+
+    NaN windows: a window containing ANY NaN has a NaN max, every
+    ``x >= max`` comparison is false, and the window's gradient is
+    DROPPED. This is deliberately conservative and differs from both
+    stock lowerings — which also differ from each other (measured:
+    XLA select-and-scatter routes a one-NaN window's cotangent to the
+    largest finite element, torch MaxPool2d to the first NaN) — so
+    there is no single stock behavior to match; dropping can never
+    amplify a NaN, and the training loss's finite guards abort on NaN
+    activations regardless. Pinned in tests/test_vgg_s2d_stages.py.
     """
     return jnp.max(x4, axis=3)
 
@@ -223,6 +232,34 @@ class _StemS2DConv(nn.Module):
         return _depth_to_space(y, self.features) + b
 
 
+# Default for the whole-stage s2d lowering (see _S2DConv): stages 1..N
+# run in space-to-depth space. Overridable per-process via
+# $LLIE_VGG_S2D_STAGES. Only stages that end in a pool qualify (the
+# phase-max pool is the free layout exit), so the useful range is 0..4.
+VGG_S2D_STAGES_DEFAULT = 0
+
+
+def _s2d_stages_from_env() -> int:
+    """Validated read of ``$LLIE_VGG_S2D_STAGES`` (whole-stage s2d
+    lowering depth). Raises a clear error instead of a bare ValueError
+    deep inside module apply (ADVICE r4)."""
+    raw = os.environ.get("LLIE_VGG_S2D_STAGES")
+    if raw is None or raw == "":
+        return VGG_S2D_STAGES_DEFAULT
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"LLIE_VGG_S2D_STAGES must be an integer in [0, 4], got "
+            f"{raw!r} (0 = stock lowering; N = run VGG stages 1..N in "
+            "space-to-depth space, exiting via the phase-max pool)")
+    if not 0 <= val <= 4:
+        raise ValueError(
+            f"LLIE_VGG_S2D_STAGES must be in [0, 4], got {val} (stage 5 "
+            "has no trailing pool so it cannot exit s2d space for free)")
+    return val
+
+
 class VGG19Features(nn.Module):
     """VGG19 trunk up to relu5_4 (no final pool) returning tap activations.
 
@@ -243,7 +280,7 @@ class VGG19Features(nn.Module):
 
         reorder = os.environ.get("LLIE_VGG_POOL_FIRST", "1") != "0"
         s2d_stem = os.environ.get("LLIE_VGG_S2D_STEM", "0") == "1"
-        s2d_stages = int(os.environ.get("LLIE_VGG_S2D_STAGES", "0"))
+        s2d_stages = _s2d_stages_from_env()
         outputs: Dict[str, Array] = {}
         for stage, (feat, n_convs) in enumerate(_VGG19_CFG, start=1):
             # Whole-stage s2d lowering (see _S2DConv): only for stages that

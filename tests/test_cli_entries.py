@@ -194,9 +194,30 @@ class TestBenchTrainProbe:
             stdout = "noise\nTRAIN_S 0.04215\n"
             stderr = ""
 
-        monkeypatch.setattr(bench.subprocess, "run",
+        monkeypatch.setattr(bench, "_run_child",
                             lambda *a, **k: FakeProc())
         assert bench.measure_train(use_perc=True) == 0.04215
+
+    def test_flops_probe_result_is_parsed(self, monkeypatch):
+        bench = self._bench()
+
+        class FakeProc:
+            returncode = 0
+            stdout = "noise\nFLOPS 123456.0\n"
+            stderr = ""
+
+        monkeypatch.setattr(bench, "_run_child",
+                            lambda *a, **k: FakeProc())
+        assert bench.measure_flops("perc") == 123456.0
+
+    def test_flops_probe_failure_returns_none(self, monkeypatch):
+        bench = self._bench()
+
+        def boom(*a, **k):
+            raise OSError("spawn failed")
+
+        monkeypatch.setattr(bench, "_run_child", boom)
+        assert bench.measure_flops("perc") is None
 
     def test_probe_failure_falls_back_inprocess(self, monkeypatch):
         bench = self._bench()
@@ -204,10 +225,33 @@ class TestBenchTrainProbe:
         def boom(*a, **k):
             raise OSError("spawn failed")
 
-        monkeypatch.setattr(bench.subprocess, "run", boom)
-        monkeypatch.setattr(bench, "measure_train_inprocess",
-                            lambda use_perc, runs=20: 0.111)
+        monkeypatch.setattr(bench, "_run_child", boom)
+        monkeypatch.setattr(
+            bench, "measure_train_inprocess",
+            lambda use_perc, runs=20: 0.111)
         assert bench.measure_train(use_perc=False) == 0.111
+
+    def test_probe_timeout_bounded_by_remaining_budget(self, monkeypatch):
+        """The train-probe subprocess timeout must fit inside the wall
+        budget (VERDICT r4 #1: a 3600 s child timeout let the driver kill
+        the whole run before the JSON line printed)."""
+        bench = self._bench()
+        seen = {}
+
+        class FakeProc:
+            returncode = 0
+            stdout = "TRAIN_S 0.05\nTRAIN_FLOPS 0.0\n"
+            stderr = ""
+
+        def fake_run(cmd, timeout):
+            seen["timeout"] = timeout
+            return FakeProc()
+
+        monkeypatch.setattr(bench, "_run_child", fake_run)
+        bench._BUDGET_S = 200.0  # pretend a 200 s budget from t0
+        bench.measure_train(use_perc=True)
+        assert seen["timeout"] <= 200.0 - 60.0 + 1.0
+        assert seen["timeout"] >= 30.0
 
     def test_backend_probe_parses_platform(self, monkeypatch):
         bench = self._bench()
@@ -271,6 +315,62 @@ class TestBenchTrainProbe:
         out = capsys.readouterr().out.strip().splitlines()
         rec = json.loads(out[-1])
         assert rec["detail"]["last_measured"]["value"] == 41.2
+
+    def test_watchdog_emits_partial_result_at_deadline(self, monkeypatch,
+                                                       capsys):
+        """When the wall budget expires mid-run the watchdog must print
+        the partial-result JSON line and hard-exit 0 — the failure mode
+        this prevents is round 4's rc=124 with NO recorded line."""
+        import json
+        import time
+
+        bench = self._bench()
+        exited = []
+        monkeypatch.setattr(bench, "_EXIT", lambda code: exited.append(code))
+        bench._RESULT.update({
+            "metric": "sid512_train_steps_per_sec_per_chip",
+            "value": 0.0,
+            "vs_baseline": 0.0,
+            "detail": {"error": "no measurement completed before the "
+                                "wall budget"},
+        })
+        # deadline already passed -> watchdog fires immediately
+        bench._T0 = time.monotonic() - bench._BUDGET_S - 1.0
+        bench._start_watchdog()
+        deadline = time.monotonic() + 5.0
+        while not exited and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert exited == [0]
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        rec = json.loads(out[0])
+        assert rec["value"] == 0.0
+        assert "deadline_note" in rec["detail"]
+
+    def test_deadline_subprocess_end_to_end(self):
+        """Full-contract check: run bench.py with a ~2 s budget; the
+        process must exit 0 having printed exactly one JSON line even
+        though no measurement can complete that fast."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        env = dict(os.environ,
+                   LLIE_BENCH_FORCE_CPU="1",
+                   LLIE_BENCH_SIDE="64",
+                   LLIE_BENCH_DEADLINE_S="2")
+        p = subprocess.run([sys.executable, path], capture_output=True,
+                           text=True, timeout=90, env=env)
+        assert p.returncode == 0, p.stderr[-500:]
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert rec["metric"] == "sid512_train_steps_per_sec_per_chip"
+        # either the deadline note (partial) or a real value — on a 2 s
+        # budget it must be the partial path
+        assert "deadline_note" in rec["detail"]
 
     def test_probe_env_overrides(self, monkeypatch):
         from lowlight_image_enhancement_tpu.utils import backend_probe
