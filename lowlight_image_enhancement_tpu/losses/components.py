@@ -117,17 +117,27 @@ class SSIMLoss:
 
 @LOSS_REGISTRY.register()
 class DeltaE00Loss:
-    """Differentiable CIEDE2000 mean over sRGB [0,1] NHWC images."""
+    """Differentiable CIEDE2000 mean over sRGB [0,1] NHWC images.
 
-    def __init__(self, clamp_input: bool = True, loss_weight: float = 1.0):
+    ``formula="reference_loss"`` (default) replicates the EXACT variant
+    the reference trains with (``NewBP_model/losses.py:92-143`` — eps
+    inside sqrts, simplified hue branches; trajectory-parity-tested
+    against the reference's own torch code). ``formula="sharma"`` uses
+    the exact Sharma-2005 formula shared with the evaluation metric —
+    the two differ measurably (see ``ops/color.py``)."""
+
+    def __init__(self, clamp_input: bool = True, loss_weight: float = 1.0,
+                 formula: str = "reference_loss"):
         self.clamp_input = clamp_input
         self.loss_weight = float(loss_weight)
+        self.formula = formula
 
     def __call__(self, pred: Array, target: Array) -> Array:
         if self.clamp_input:
             pred = jnp.clip(pred, 0.0, 1.0)
             target = jnp.clip(target, 0.0, 1.0)
-        return self.loss_weight * jnp.mean(deltaE2000_rgb(pred, target))
+        return self.loss_weight * jnp.mean(
+            deltaE2000_rgb(pred, target, formula=self.formula))
 
 
 class PhysicsConsistencyLoss:

@@ -196,13 +196,96 @@ def ciede2000_lab(
     return dE
 
 
-def deltaE2000_rgb(rgb1: Array, rgb2: Array) -> Array:
+def ciede2000_lab_ref_loss(
+    lab1: Array, lab2: Array, eps: float = 1e-6
+) -> Array:
+    """The reference TRAINING-LOSS CIEDE2000 variant, replicated exactly
+    (``NewBP_model/losses.py:99-143``).
+
+    The reference repo ships TWO DeltaE00 implementations: the exact
+    Sharma-2005 formula for the metric (``metrics/color_error.py`` ->
+    :func:`ciede2000_lab` here) and this simplified differentiable
+    variant inside ``DeltaE00Loss``. They genuinely differ — this one
+    adds ``eps=1e-6`` INSIDE every sqrt (so dE(x, x) == 1e-3, not 0),
+    omits the zero-chroma special cases, and its hue-mean branch
+    (``hsum/2 - pi*(|h1p-h2p|>pi)``) can land 2*pi away from Sharma's
+    h-bar', which changes the non-periodic ``d_ro`` Gaussian. Training
+    parity with the reference requires replicating the variant the
+    reference actually trains with; the metric stays exact Sharma.
+
+    Gradient note: the reference's raw ``atan2(b, a')`` has a NaN
+    gradient at exactly-gray pixels (a' = b = 0), which its
+    ``_ensure_finite`` guard would turn into a crash. Here the atan2
+    inputs are guarded (double-where) so that measure-zero case yields
+    gradient 0 instead — identical values everywhere, identical
+    gradients except where the reference would abort.
+    """
+    two_pi = 2.0 * jnp.pi
+    L1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
+    L2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+    C1 = jnp.sqrt(a1 * a1 + b1 * b1 + eps)
+    C2 = jnp.sqrt(a2 * a2 + b2 * b2 + eps)
+    Cbar = 0.5 * (C1 + C2)
+    Cbar7 = Cbar**7
+    G = 0.5 * (1.0 - jnp.sqrt(Cbar7 / (Cbar7 + 25.0**7 + eps)))
+    a1p = (1.0 + G) * a1
+    a2p = (1.0 + G) * a2
+    C1p = jnp.sqrt(a1p * a1p + b1 * b1 + eps)
+    C2p = jnp.sqrt(a2p * a2p + b2 * b2 + eps)
+    c1_zero = (a1p * a1p + b1 * b1) == 0.0
+    c2_zero = (a2p * a2p + b2 * b2) == 0.0
+    h1p = jnp.mod(
+        jnp.arctan2(jnp.where(c1_zero, 0.0, b1),
+                    jnp.where(c1_zero, 1.0, a1p)), two_pi)
+    h2p = jnp.mod(
+        jnp.arctan2(jnp.where(c2_zero, 0.0, b2),
+                    jnp.where(c2_zero, 1.0, a2p)), two_pi)
+    dLp = L2 - L1
+    dCp = C2p - C1p
+    dhp = h2p - h1p
+    dhp = (dhp - two_pi * (dhp > jnp.pi).astype(dhp.dtype)
+           + two_pi * (dhp < -jnp.pi).astype(dhp.dtype))
+    dHp = 2.0 * jnp.sqrt(C1p * C2p + eps) * jnp.sin(dhp / 2.0)
+    Lbar = 0.5 * (L1 + L2)
+    Cbarp = 0.5 * (C1p + C2p)
+    hsum = h1p + h2p
+    hbarp = (hsum / 2.0
+             - jnp.pi * (jnp.abs(h1p - h2p) > jnp.pi).astype(hsum.dtype)
+             + two_pi * (hsum < 0).astype(hsum.dtype))
+    T = (
+        1.0
+        - 0.17 * jnp.cos(hbarp - jnp.deg2rad(30.0))
+        + 0.24 * jnp.cos(2.0 * hbarp)
+        + 0.32 * jnp.cos(3.0 * hbarp + jnp.deg2rad(6.0))
+        - 0.20 * jnp.cos(4.0 * hbarp - jnp.deg2rad(63.0))
+    )
+    d_ro = 30.0 * jnp.exp(-(((jnp.rad2deg(hbarp) - 275.0) / 25.0) ** 2))
+    RC = 2.0 * jnp.sqrt(Cbarp**7 / (Cbarp**7 + 25.0**7 + eps))
+    SL = 1.0 + (0.015 * ((Lbar - 50.0) ** 2)) / jnp.sqrt(
+        20.0 + (Lbar - 50.0) ** 2 + eps)
+    SC = 1.0 + 0.045 * Cbarp
+    SH = 1.0 + 0.015 * Cbarp * T
+    RT = -jnp.sin(jnp.deg2rad(d_ro)) * RC
+    return jnp.sqrt(
+        (dLp / SL) ** 2 + (dCp / SC) ** 2 + (dHp / SH) ** 2
+        + RT * (dCp / SC) * (dHp / SH) + eps)
+
+
+def deltaE2000_rgb(rgb1: Array, rgb2: Array,
+                   formula: str = "sharma") -> Array:
     """Per-pixel CIEDE2000 map between sRGB [0,1] NHWC images ``[N,H,W,3]``.
 
-    Returns ``[N, H, W]``. Differentiable; used by both the DeltaE00 loss
-    and the evaluation metric.
+    Returns ``[N, H, W]``. Differentiable. ``formula``: "sharma" (exact,
+    the reference's METRIC, default) or "reference_loss" (the reference's
+    training-loss variant — see :func:`ciede2000_lab_ref_loss`).
     """
-    return ciede2000_lab(rgb_to_lab(rgb1), rgb_to_lab(rgb2))
+    lab1, lab2 = rgb_to_lab(rgb1), rgb_to_lab(rgb2)
+    if formula == "reference_loss":
+        return ciede2000_lab_ref_loss(lab1, lab2)
+    if formula != "sharma":
+        raise ValueError(
+            f"formula must be 'sharma' or 'reference_loss', got {formula!r}")
+    return ciede2000_lab(lab1, lab2)
 
 
 def sobel_magnitude(x: Array) -> Array:

@@ -50,6 +50,8 @@ _ARCHS = "NAFNet_base/basicsr/models/archs"
 GEOMETRY = dict(img_channel=3, width=8, middle_blk_num=2,
                 enc_blk_nums=(1, 2), dec_blk_nums=(1, 1))
 LR, WD, CLIP, W_PHYS, W_PERC, RHO = 5e-4, 0.01, 0.01, 0.10, 0.02, 5.0
+# the reference HybridLossPlus defaults (losses.py:228-244)
+W_DELTAE, W_SSIM = 0.02, 0.05
 
 # torchvision vgg19.features conv indices (same trunk layout both sides)
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -135,6 +137,116 @@ def make_shared_vgg(tmpdir: str):
     return feats, npz_path
 
 
+def _torch_rgb_to_lab(img):
+    """Faithful torch port of kornia's ``rgb_to_lab`` (D65/2deg, the
+    reference's Lab source) — same constants/branches as the framework's
+    ``ops/color.py:rgb_to_lab`` so the ONLY untested piece left in the
+    DeltaE00 term is the conversion itself, which the Sharma gold-pair
+    fixture already pins on the jax side. Input/output [N,3,H,W]."""
+    import torch
+
+    lin = torch.where(img > 0.04045,
+                      ((img + 0.055) / 1.055).clamp(min=1e-12) ** 2.4,
+                      img / 12.92)
+    M = torch.tensor([[0.412453, 0.357580, 0.180423],
+                      [0.212671, 0.715160, 0.072169],
+                      [0.019334, 0.119193, 0.950227]], dtype=lin.dtype)
+    xyz = torch.einsum("nchw,dc->ndhw", lin, M)
+    white = torch.tensor([0.95047, 1.0, 1.08883],
+                         dtype=lin.dtype).view(1, 3, 1, 1)
+    t = xyz / white
+    delta = 6.0 / 29.0
+    f = torch.where(t > delta**3, t.clamp(min=1e-12) ** (1.0 / 3.0),
+                    t / (3.0 * delta**2) + 4.0 / 29.0)
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    return torch.stack([116.0 * fy - 16.0, 500.0 * (fx - fy),
+                        200.0 * (fy - fz)], 1)
+
+
+def _make_torch_ssim_loss():
+    """kornia.losses.SSIMLoss stand-in: DSSIM ``mean((1 - ssim)/2)`` with
+    gaussian 11x11 sigma 1.5, reflect padding, k1/k2 = .01/.03 — the
+    documented kornia semantics the reference wraps
+    (``NewBP_model/losses.py:146-155``) and the framework's
+    ``SSIMLoss``/``ssim_linear`` contract (``metrics/linear.py``)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    class SSIMLoss(torch.nn.Module):
+        def __init__(self, window_size=11, max_val=1.0, reduction="mean"):
+            super().__init__()
+            assert reduction == "mean"
+            self.window_size = window_size
+            self.max_val = max_val
+            ax = np.arange(window_size, dtype=np.float64) \
+                - (window_size - 1) / 2.0
+            w = np.exp(-(ax**2) / (2.0 * 1.5**2))
+            self.register_buffer(
+                "win", torch.tensor((w / w.sum()).astype(np.float32)))
+
+        def _blur(self, z):
+            c = z.shape[1]
+            p = self.window_size // 2
+            kcol = self.win.view(1, 1, -1, 1).expand(c, 1, -1, 1)
+            krow = self.win.view(1, 1, 1, -1).expand(c, 1, 1, -1)
+            z = F.pad(z, (0, 0, p, p), mode="reflect")
+            z = F.conv2d(z, kcol, groups=c)
+            z = F.pad(z, (p, p, 0, 0), mode="reflect")
+            return F.conv2d(z, krow, groups=c)
+
+        def forward(self, x, y):
+            mu_x, mu_y = self._blur(x), self._blur(y)
+            mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+            sx = (self._blur(x * x) - mu_x2).clamp(min=0.0)
+            sy = (self._blur(y * y) - mu_y2).clamp(min=0.0)
+            sxy = self._blur(x * y) - mu_xy
+            c1 = (0.01 * self.max_val) ** 2
+            c2 = (0.03 * self.max_val) ** 2
+            ssim = ((2 * mu_xy + c1) * (2 * sxy + c2)) / (
+                (mu_x2 + mu_y2 + c1) * (sx + sy + c2))
+            return torch.mean((1.0 - ssim) / 2.0)
+
+    return SSIMLoss
+
+
+def _install_kornia_stub():
+    """Install a ``kornia`` stub so the reference's DeltaE00Loss /
+    SSIMLoss classes (``NewBP_model/losses.py:92-155``) import and run
+    in place — kornia is absent in this image. The stub supplies only
+    what those classes consume: ``kornia.color.rgb_to_lab`` and
+    ``kornia.losses.SSIMLoss``."""
+    if "kornia" in sys.modules:
+        return
+    K = types.ModuleType("kornia")
+    Kc = types.ModuleType("kornia.color")
+    Kc.rgb_to_lab = _torch_rgb_to_lab
+    Kl = types.ModuleType("kornia.losses")
+    Kl.SSIMLoss = _make_torch_ssim_loss()
+    K.color, K.losses = Kc, Kl
+    sys.modules["kornia"] = K
+    sys.modules["kornia.color"] = Kc
+    sys.modules["kornia.losses"] = Kl
+
+
+def _load_reference_color_losses():
+    """The reference's own DeltaE00Loss + SSIMLoss classes, executed in
+    place over the kornia stub."""
+    _install_kornia_stub()
+    # losses.py also imports torchvision at module level
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.vgg19 = lambda *a, **k: None
+        tvm.VGG19_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    ref_losses = _load_ref("losses.py", "ref_newbp_losses_color",
+                           "NewBP_model")
+    return ref_losses.DeltaE00Loss, ref_losses.SSIMLoss
+
+
 def _load_reference_perceptual(torch_feats):
     """The reference's own ``PerceptualLoss`` (``NewBP_model/losses.py:
     32-69``) built around a caller-supplied feature trunk — torchvision
@@ -153,7 +265,8 @@ def _load_reference_perceptual(torch_feats):
     return ref_losses.PerceptualLoss(device="cpu", use_mse=True)
 
 
-def run_torch(steps: int, side: int, geometry=None, torch_feats=None):
+def run_torch(steps: int, side: int, geometry=None, torch_feats=None,
+              use_color=False):
     """Reference-side trajectory. Returns (losses, init_sd, final_sd,
     final_outputs_on_val)."""
     import numpy as np
@@ -164,6 +277,11 @@ def run_torch(steps: int, side: int, geometry=None, torch_feats=None):
     TorchNAFNet, layer = load_reference_modules()
     perc = (_load_reference_perceptual(torch_feats)
             if torch_feats is not None else None)
+    de_loss = ssim_loss = None
+    if use_color:
+        RefDeltaE, RefSSIM = _load_reference_color_losses()
+        de_loss = RefDeltaE()
+        ssim_loss = RefSSIM(window_size=11, max_val=1.0)
     torch.manual_seed(0)
     net = TorchNAFNet(**{k: list(v) if isinstance(v, tuple) else v
                          for k, v in geometry.items()})
@@ -194,6 +312,13 @@ def run_torch(steps: int, side: int, geometry=None, torch_feats=None):
         total = l1 + W_PHYS * phys
         if perc is not None:
             total = total + W_PERC * perc(out, gt_t)
+        if de_loss is not None:
+            # srgb01 views exactly as the framework's train step maps
+            # them (train_step.py: Bhat_srgb01=clip(out), B_srgb01=gt)
+            out01 = out.clamp(0, 1)
+            total = total + W_DELTAE * de_loss(out01, gt_t)
+            total = total + W_SSIM * ssim_loss(out01.clamp(0, 1),
+                                               gt_t.clamp(0, 1))
         total.backward()
         torch.nn.utils.clip_grad_norm_(net.parameters(), CLIP)
         opt.step()
@@ -208,7 +333,8 @@ def run_torch(steps: int, side: int, geometry=None, torch_feats=None):
     return losses, init_sd, final_sd, (val_out, vb["gt"])
 
 
-def run_jax(steps: int, side: int, init_sd, geometry=None, vgg_npz=None):
+def run_jax(steps: int, side: int, init_sd, geometry=None, vgg_npz=None,
+            use_color=False):
     """Framework-side trajectory from the converted torch init."""
     import jax
     import jax.numpy as jnp
@@ -231,7 +357,8 @@ def run_jax(steps: int, side: int, init_sd, geometry=None, vgg_npz=None):
     loss = HybridLossPlus(
         use_perc=perceptual is not None, w_perc=W_PERC,
         perceptual=perceptual,
-        use_deltaE=False, use_ssim=False, use_phys=True,
+        use_deltaE=use_color, w_deltaE=W_DELTAE,
+        use_ssim=use_color, w_ssim=W_SSIM, use_phys=True,
         w_phys=W_PHYS, physics_psf_module=create_crosstalk_psf("mono", "P2"),
     )
     tx = make_optimizer(LR)   # AdamW(wd 0.01) + global-norm clip 0.01
@@ -296,7 +423,7 @@ def _val_metrics(out, gt):
 
 
 def run_parity(steps: int = 12, side: int = 32, width: int = None,
-               use_perc: bool = False) -> dict:
+               use_perc: bool = False, use_color: bool = False) -> dict:
     import tempfile
 
     geometry = dict(GEOMETRY)
@@ -309,9 +436,11 @@ def run_parity(steps: int = 12, side: int = 32, width: int = None,
         torch_feats, vgg_npz = make_shared_vgg(tmpdir)
 
     t_losses, init_sd, final_sd, t_val = run_torch(
-        steps, side, geometry=geometry, torch_feats=torch_feats)
+        steps, side, geometry=geometry, torch_feats=torch_feats,
+        use_color=use_color)
     j_losses, j_params, j_val = run_jax(
-        steps, side, init_sd, geometry=geometry, vgg_npz=vgg_npz)
+        steps, side, init_sd, geometry=geometry, vgg_npz=vgg_npz,
+        use_color=use_color)
     rel = [abs(a - b) / max(abs(a), 1e-12)
            for a, b in zip(t_losses, j_losses)]
     dparam, dkey = compare_params(final_sd, j_params)
@@ -320,9 +449,15 @@ def run_parity(steps: int = 12, side: int = 32, width: int = None,
     objective = f"l1_raw + {W_PHYS}*phys_srgb(mono P2)"
     if use_perc:
         objective += (f" + {W_PERC}*perceptual(shared random-init VGG19, "
-                      "identical weights both sides; deltaE/ssim terms "
-                      "excluded: the reference disables them without "
-                      "kornia, which this image lacks)")
+                      "identical weights both sides)")
+    if use_color:
+        objective += (
+            f" + {W_DELTAE}*deltaE00 + {W_SSIM}*ssim — torch side runs "
+            "the reference's OWN DeltaE00Loss/SSIMLoss classes "
+            "(NewBP_model/losses.py:92-155) over a kornia stub "
+            "(faithful rgb_to_lab + gaussian-11/1.5 SSIM); jax side is "
+            "HybridLossPlus with use_deltaE/use_ssim — the FULL hybrid "
+            "objective, every term gradient-coupled")
     return {
         "protocol": {"steps": steps, "side": side, "geometry": geometry,
                      "objective": objective,
@@ -357,6 +492,9 @@ def main() -> None:
     ap.add_argument("--perc", action="store_true",
                     help="add the perceptual term with shared random-init "
                          "VGG19 weights on both sides (v2 protocol)")
+    ap.add_argument("--full", action="store_true",
+                    help="the FULL hybrid objective: perceptual + deltaE00 "
+                         "+ ssim + phys (v3 protocol; implies --perc)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     if not reference_available():
@@ -371,7 +509,8 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
     report = run_parity(args.steps, args.side, width=args.width,
-                        use_perc=args.perc)
+                        use_perc=args.perc or args.full,
+                        use_color=args.full)
     out = json.dumps(report, indent=2, default=str)
     print(out)
     if args.json:
