@@ -84,6 +84,55 @@ def vgg_feature_extractor() -> Callable[[np.ndarray], np.ndarray]:
     return extract
 
 
+def inception_feature_extractor(
+    allow_random: bool = False,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """The standard-protocol FID extractor: InceptionV3 pool3 features
+    (2048-d), pytorch-fid FID variant, as configured by the reference
+    (``basicsr/metrics/fid.py:14-25``: ``resize_input=True``,
+    ``normalize_input=False`` — inputs already in [-1, 1]; this wrapper
+    takes [0, 1] NHWC images and maps them, pytorch-fid's own pipeline
+    convention).
+
+    Requires converted pretrained weights
+    (``tools/convert_inception_weights.py`` -> ``$LLIE_INCEPTION_NPZ`` or
+    ``weights/inception_v3_fid.npz``); raises with instructions when
+    absent unless ``allow_random=True`` (random-trunk FID is
+    self-consistent but NOT comparable to any published number).
+    """
+    import jax.numpy as jnp
+
+    from lowlight_image_enhancement_tpu.models.inception import (
+        load_inception_v3,
+    )
+
+    module, variables, pretrained = load_inception_v3()
+    if not pretrained and not allow_random:
+        raise RuntimeError(
+            "FID: pretrained InceptionV3 weights not found. Standard-"
+            "protocol FID is defined over InceptionV3 pool3 features "
+            "(reference: basicsr/metrics/fid.py). Convert a checkpoint "
+            "with tools/convert_inception_weights.py and set "
+            "$LLIE_INCEPTION_NPZ (or place weights/inception_v3_fid.npz), "
+            "pass allow_random=True for a self-consistent-only value, or "
+            "use vgg_feature_extractor() explicitly.")
+
+    import jax
+
+    apply = jax.jit(module.apply)
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(images, dtype=jnp.float32) * 2.0 - 1.0
+        return np.asarray(apply(variables, x))
+
+    extract.metadata = {
+        "extractor": "inception_v3_pool3_fid_variant",
+        "pretrained": bool(pretrained),
+        "input_contract": "[0,1] NHWC -> mapped to [-1,1], resized 299",
+    }
+    return extract
+
+
 def calculate_fid(
     images1: np.ndarray,
     images2: np.ndarray,
@@ -92,13 +141,16 @@ def calculate_fid(
 ) -> float:
     """FID between two image sets (NHWC float [0,1]).
 
-    ``feature_extractor(images) -> [N, D]``; defaults to the bundled VGG19
-    trunk (:func:`vgg_feature_extractor` — see its comparability caveat).
-    Precomputed-feature workflows can use ``compute_feature_stats`` +
-    ``calculate_fid_from_stats`` directly.
+    ``feature_extractor(images) -> [N, D]``; defaults to the
+    standard-protocol InceptionV3 pool3 extractor
+    (:func:`inception_feature_extractor` — raises with instructions if
+    no converted weights are installed; pass
+    :func:`vgg_feature_extractor`'s result for the bundled
+    self-consistent fallback). Precomputed-feature workflows can use
+    ``compute_feature_stats`` + ``calculate_fid_from_stats`` directly.
     """
     if feature_extractor is None:
-        feature_extractor = vgg_feature_extractor()
+        feature_extractor = inception_feature_extractor()
 
     def extract(images):
         feats = [
