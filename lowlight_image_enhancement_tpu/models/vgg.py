@@ -171,13 +171,23 @@ class _S2DConv(nn.Module):
     kernel (:func:`_s2d_stem_kernel`) is a fixed linear function of the
     frozen params, so XLA constant-folds it at compile time.
 
-    Why: VGG stages 1-2 have 64/128 channels at 512^2/256^2 — the stock
-    lowering underfills MXU lanes and the conv1_1 input-gradient
-    (a transposed conv with THREE output lanes) is ~95% idle. In s2d
-    space every contraction is >=12->256 lanes wide at 1/4 the spatial
-    size. Unlike the rejected conv1_1-only stem (round 3), whole stages
-    run here and the stage-final pool exits via :func:`_phase_max_pool`,
-    so no depth-to-space boundary copy ever materializes.
+    Why it was built: VGG stages 1-2 have 64/128 channels at
+    512^2/256^2 — the stock lowering underfills MXU lanes and the
+    conv1_1 input-gradient (a transposed conv with THREE output lanes)
+    is ~95% idle. In s2d space every contraction is >=12->256 lanes
+    wide at 1/4 the spatial size, and unlike the rejected conv1_1-only
+    stem (round 3) the stage-final pool exits via
+    :func:`_phase_max_pool` with no depth-to-space boundary copy.
+
+    **Measured on v5e and REJECTED as a default** (round 5, isolated
+    perceptual value+grad 512^2 b2 bf16): stock 17.52 ms, stages=1
+    19.74 ms, stages=2 28.06 ms — monotone regression. The structural
+    reason: the relayouted kernel has 3*3*4ci*4co taps at 1/4 the
+    spatial positions = 4x the executed dense MACs, and the MXU cannot
+    skip its zeros; no lane-occupancy win repays a 4x FLOP inflation.
+    Kept (default-off, exact-tested in tests/test_vgg_s2d_stages.py)
+    as documentation of the measured dead end — see BASELINE.md round-5
+    roofline section.
     """
 
     features: int
