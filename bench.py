@@ -231,9 +231,66 @@ def _model_flops_inprocess(mode: str) -> float | None:
         return None
 
 
+_FLOPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_flops_cache.json")
+
+
+def _flops_cache_key() -> str | None:
+    """Model FLOPs depend only on the source revision (shapes are fixed
+    by the protocol) — cache them per clean git HEAD so the default
+    bench run doesn't re-pay the ~3 min CPU tracing every time. A dirty
+    tree disables the cache (None)."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=10)
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "-uno"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10)
+        if head.returncode != 0 or dirty.returncode != 0:
+            return None
+        if dirty.stdout.strip():
+            return None
+        return head.stdout.strip()
+    except Exception:
+        return None
+
+
 def measure_flops(mode: str) -> float | None:
     """Model FLOPs/step for ``mode``, counted in a forced-CPU child (see
-    _model_flops_inprocess for why CPU)."""
+    _model_flops_inprocess for why CPU); cached per clean git revision."""
+    if os.environ.get("LLIE_BENCH_SIDE"):
+        return None  # smoke shapes: counts would be wrong AND cached
+    key = _flops_cache_key()
+    if key:
+        try:
+            with open(_FLOPS_CACHE_PATH) as f:
+                cache = json.load(f)
+            if cache.get("rev") == key and mode in cache.get("flops", {}):
+                return cache["flops"][mode]
+        except Exception:
+            pass
+    flops = _measure_flops_child(mode)
+    if key and flops:
+        try:
+            cache = {"rev": None, "flops": {}}
+            try:
+                with open(_FLOPS_CACHE_PATH) as f:
+                    cache = json.load(f)
+            except Exception:
+                pass
+            if cache.get("rev") != key:
+                cache = {"rev": key, "flops": {}}
+            cache["flops"][mode] = flops
+            with open(_FLOPS_CACHE_PATH, "w") as f:
+                json.dump(cache, f)
+        except Exception:
+            pass
+    return flops
+
+
+def _measure_flops_child(mode: str) -> float | None:
     try:
         p = _run_child(
             [sys.executable, os.path.abspath(__file__),
@@ -316,7 +373,8 @@ def _flagship_batch():
 
 
 def measure_train_inprocess(use_perc: bool, runs: int = 20):
-    """seconds/step for the recipe with/without the perceptual term.
+    """(wall seconds/step, device ms/step or None) for the recipe
+    with/without the perceptual term.
 
     Two independent measurement rounds; report the SLOWER one. The
     hosted tunnel occasionally mis-serializes a burst (observed once:
@@ -361,11 +419,39 @@ def measure_train_inprocess(use_perc: bool, runs: int = 20):
             state, logs = step(state, batch)
         jax.block_until_ready(logs["l_total"])
         round_s.append((time.perf_counter() - t0) / runs)
-    return max(round_s)
+    return max(round_s), _device_time_ms(step, state, batch)
+
+
+def _device_time_ms(step, state, batch, n: int = 5):
+    """ms/step of DEVICE time from an xprof trace of n steps — the
+    honest hardware number: wall time over the hosted tunnel runs
+    ~7 ms/step slower than device time (BASELINE.md methodology note).
+    Best-effort: returns None rather than jeopardize the wall
+    measurement."""
+    try:
+        from lowlight_image_enhancement_tpu.utils.profiling import (
+            summarize_trace,
+            trace,
+        )
+
+        if jax.devices()[0].platform == "cpu":
+            return None  # trace summarizer keys on TPU device rows
+        logdir = "/tmp/bench_step_trace"
+        with trace(logdir):
+            for _ in range(n):
+                state, logs = step(state, batch)
+            jax.block_until_ready(logs["l_total"])
+        fam = summarize_trace(logdir, top=10_000)
+        ms = sum(fam.values()) / n
+        return ms if ms > 0 else None
+    except Exception as e:  # pragma: no cover — diagnostics only
+        print(f"bench: device-time trace failed: {e}", file=sys.stderr)
+        return None
 
 
 def measure_train(use_perc: bool):
-    """seconds/step, measured in a FRESH subprocess.
+    """(wall seconds/step, device ms/step or None), measured in a FRESH
+    subprocess.
 
     Same-process sequential measurements contaminate each other on this
     backend (observed: the no-perc step measuring ~50 ms instead of ~33
@@ -386,9 +472,14 @@ def measure_train(use_perc: bool):
              "--train-probe", mode],
             timeout=child_timeout,
         )
+        s = dev = None
         for ln in p.stdout.splitlines():
             if ln.startswith("TRAIN_S "):
-                return float(ln.split()[1])
+                s = float(ln.split()[1])
+            elif ln.startswith("TRAIN_DEVICE_MS "):
+                dev = float(ln.split()[1])
+        if s is not None:
+            return s, dev
         print(f"bench: train probe [{mode}] produced no result "
               f"(rc={p.returncode}); falling back to in-process. tail: "
               + (p.stdout + p.stderr)[-800:], file=sys.stderr)
@@ -482,7 +573,7 @@ def main() -> None:
     # --- STAGE 1 (headline, always first): FULL-recipe training step,
     # batch 2, 512x512, bf16, perceptual term included (random-init VGG
     # trunk — same FLOPs as pretrained), in a fresh subprocess.
-    train_s = measure_train(use_perc=True)
+    train_s, train_dev_ms = measure_train(use_perc=True)
     steps_per_sec = 1.0 / train_s
     _RESULT["value"] = round(steps_per_sec, 4)
     _RESULT["vs_baseline"] = round(
@@ -490,6 +581,13 @@ def main() -> None:
     detail.pop("error", None)
     detail.pop("last_measured", None)
     detail["train_step_ms"] = round(train_s * 1e3, 3)
+    if train_dev_ms:
+        # device time from xprof — the honest hardware number (wall over
+        # the hosted tunnel carries ~7 ms/step of host/dispatch drift)
+        detail["train_step_ms_device"] = round(train_dev_ms, 3)
+        detail["steps_per_sec_device"] = round(1e3 / train_dev_ms, 4)
+        detail["vs_baseline_device"] = round(
+            1e3 / train_dev_ms / A100_REFERENCE_STEPS_PER_SEC_ESTIMATE, 4)
     detail["peak_bf16_tflops"] = (peak / 1e12) if peak else None
     detail["device"] = str(jax.devices()[0])
     detail["baseline_note"] = (
@@ -499,11 +597,6 @@ def main() -> None:
     # Persist the headline IMMEDIATELY (not at exit): a later hang must
     # not erase this run's real on-chip record.
     _persist_last_good()
-
-    # --- STAGE 1b: model FLOPs -> MFU for the headline (forced-CPU
-    # child; pre-compile cost analysis is unsupported on the TPU plugin).
-    if _remaining() > 90.0:
-        detail["mfu_full_recipe"] = _mfu(measure_flops("perc"), train_s)
 
     # --- STAGE 2: inference latency 1x256x256x3, reference protocol
     # (20 warmup + 100 timed). Runs are CHAINED (each input is the
@@ -542,6 +635,12 @@ def main() -> None:
             print(f"bench: latency stage failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # --- STAGE 2b: model FLOPs -> MFU for the headline (forced-CPU
+    # child, ~3 min cold, cached per clean git revision; pre-compile
+    # cost analysis is unsupported on the TPU plugin).
+    if _remaining() > 90.0:
+        detail["mfu_full_recipe"] = _mfu(measure_flops("perc"), train_s)
+
     # --- STAGE 3 (opt-in, $LLIE_BENCH_EXTRAS=1): variants. Each checks
     # the remaining budget; the emit below happens regardless.
     if os.environ.get("LLIE_BENCH_EXTRAS") == "1":
@@ -560,8 +659,10 @@ def _measure_extras(detail: dict, _mfu) -> None:
 
     if _remaining() > 120.0:
         try:
-            train_s_noperc = measure_train(use_perc=False)
+            train_s_noperc, dev_noperc = measure_train(use_perc=False)
             detail["train_step_ms_no_perc"] = round(train_s_noperc * 1e3, 3)
+            if dev_noperc:
+                detail["train_step_ms_no_perc_device"] = round(dev_noperc, 3)
             detail["steps_per_sec_no_perc"] = round(1.0 / train_s_noperc, 4)
             if _remaining() > 90.0:
                 detail["mfu_no_perc"] = _mfu(measure_flops("noperc"),
@@ -705,8 +806,10 @@ def _persist_last_good() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--train-probe":
-        s = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
+        s, dev_ms = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
         print(f"TRAIN_S {s:.9f}", flush=True)
+        if dev_ms:
+            print(f"TRAIN_DEVICE_MS {dev_ms:.6f}", flush=True)
     elif len(sys.argv) >= 3 and sys.argv[1] == "--flops-probe":
         # Forced CPU: pre-compile cost analysis works there and nothing
         # device-side is needed (all tracing is shape-abstract).

@@ -191,12 +191,12 @@ class TestBenchTrainProbe:
 
         class FakeProc:
             returncode = 0
-            stdout = "noise\nTRAIN_S 0.04215\n"
+            stdout = "noise\nTRAIN_S 0.04215\nTRAIN_DEVICE_MS 39.25\n"
             stderr = ""
 
         monkeypatch.setattr(bench, "_run_child",
                             lambda *a, **k: FakeProc())
-        assert bench.measure_train(use_perc=True) == 0.04215
+        assert bench.measure_train(use_perc=True) == (0.04215, 39.25)
 
     def test_flops_probe_result_is_parsed(self, monkeypatch):
         bench = self._bench()
@@ -228,8 +228,8 @@ class TestBenchTrainProbe:
         monkeypatch.setattr(bench, "_run_child", boom)
         monkeypatch.setattr(
             bench, "measure_train_inprocess",
-            lambda use_perc, runs=20: 0.111)
-        assert bench.measure_train(use_perc=False) == 0.111
+            lambda use_perc, runs=20: (0.111, None))
+        assert bench.measure_train(use_perc=False) == (0.111, None)
 
     def test_probe_timeout_bounded_by_remaining_budget(self, monkeypatch):
         """The train-probe subprocess timeout must fit inside the wall
