@@ -240,19 +240,25 @@ def _flops_cache_key() -> str | None:
     by the protocol) — cache them per clean git HEAD so the default
     bench run doesn't re-pay the ~3 min CPU tracing every time. A dirty
     tree disables the cache (None)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=10)
+        # key on the committed TREE of what determines the step graph
+        # (the package + this file) so doc-only commits keep the cache;
+        # dirty check scoped the same way — the driver keeps
+        # PROGRESS.jsonl perpetually modified, which must not defeat it
+        key = subprocess.run(
+            ["git", "rev-parse", "HEAD:lowlight_image_enhancement_tpu",
+             "HEAD:bench.py"],
+            capture_output=True, text=True, cwd=repo, timeout=10)
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "-uno"], capture_output=True,
-            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=10)
-        if head.returncode != 0 or dirty.returncode != 0:
+            ["git", "status", "--porcelain", "-uno", "--",
+             "lowlight_image_enhancement_tpu", "bench.py"],
+            capture_output=True, text=True, cwd=repo, timeout=10)
+        if key.returncode != 0 or dirty.returncode != 0:
             return None
         if dirty.stdout.strip():
             return None
-        return head.stdout.strip()
+        return ":".join(key.stdout.split())
     except Exception:
         return None
 

@@ -372,6 +372,30 @@ class TestBenchTrainProbe:
         # budget it must be the partial path
         assert "deadline_note" in rec["detail"]
 
+    def test_flops_cache_hits_per_revision(self, monkeypatch, tmp_path):
+        """measure_flops re-traces only once per (clean) source revision
+        — the ~3 min forced-CPU count must not be re-paid on every
+        bench run (it pushed the warm default run past the deadline)."""
+        bench = self._bench()
+        calls = []
+        monkeypatch.setattr(bench, "_measure_flops_child",
+                            lambda mode: calls.append(mode) or 123.0)
+        monkeypatch.setattr(bench, "_flops_cache_key", lambda: "rev-a")
+        monkeypatch.setattr(bench, "_FLOPS_CACHE_PATH",
+                            str(tmp_path / "cache.json"))
+        assert bench.measure_flops("perc") == 123.0
+        assert bench.measure_flops("perc") == 123.0
+        assert calls == ["perc"]  # second call served from cache
+        # a new revision invalidates
+        monkeypatch.setattr(bench, "_flops_cache_key", lambda: "rev-b")
+        assert bench.measure_flops("perc") == 123.0
+        assert calls == ["perc", "perc"]
+        # dirty tree (no key): no caching at all
+        monkeypatch.setattr(bench, "_flops_cache_key", lambda: None)
+        bench.measure_flops("noperc")
+        bench.measure_flops("noperc")
+        assert calls[-2:] == ["noperc", "noperc"]
+
     def test_probe_env_overrides(self, monkeypatch):
         from lowlight_image_enhancement_tpu.utils import backend_probe
 
