@@ -88,19 +88,24 @@ _ACTIVE_CHILDREN: set = set()
 
 def _run_child(cmd, timeout):
     """subprocess.run equivalent that registers the child for the
-    watchdog's cleanup."""
+    watchdog's cleanup. On timeout the child is killed and whatever it
+    already printed is RETURNED (rc -9) instead of raised away — probes
+    print their headline line (``TRAIN_S``) as soon as it is measured,
+    so a child cut off during its optional post-work (the device-time
+    trace) still delivers the measurement."""
     p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True)
     _ACTIVE_CHILDREN.add(p)
     try:
         out, err = p.communicate(timeout=timeout)
+        rc = p.returncode
     except subprocess.TimeoutExpired:
         p.kill()
-        p.communicate()
-        raise
+        out, err = p.communicate()
+        rc = -9
     finally:
         _ACTIVE_CHILDREN.discard(p)
-    return subprocess.CompletedProcess(cmd, p.returncode, out, err)
+    return subprocess.CompletedProcess(cmd, rc, out or "", err or "")
 
 
 _EMIT_LOCK = threading.Lock()
@@ -378,9 +383,13 @@ def _flagship_batch():
     }
 
 
-def measure_train_inprocess(use_perc: bool, runs: int = 20):
+def measure_train_inprocess(use_perc: bool, runs: int = 20,
+                            announce=None):
     """(wall seconds/step, device ms/step or None) for the recipe
-    with/without the perceptual term.
+    with/without the perceptual term. ``announce(seconds)`` fires as
+    soon as the wall measurement exists, BEFORE the optional device
+    trace — the probe protocol prints its headline through this so a
+    deadline-killed child still delivers it.
 
     Two independent measurement rounds; report the SLOWER one. The
     hosted tunnel occasionally mis-serializes a burst (observed once:
@@ -425,7 +434,10 @@ def measure_train_inprocess(use_perc: bool, runs: int = 20):
             state, logs = step(state, batch)
         jax.block_until_ready(logs["l_total"])
         round_s.append((time.perf_counter() - t0) / runs)
-    return max(round_s), _device_time_ms(step, state, batch)
+    s = max(round_s)
+    if announce is not None:
+        announce(s)
+    return s, _device_time_ms(step, state, batch)
 
 
 def _device_time_ms(step, state, batch, n: int = 5):
@@ -812,8 +824,9 @@ def _persist_last_good() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--train-probe":
-        s, dev_ms = measure_train_inprocess(use_perc=sys.argv[2] == "perc")
-        print(f"TRAIN_S {s:.9f}", flush=True)
+        s, dev_ms = measure_train_inprocess(
+            use_perc=sys.argv[2] == "perc",
+            announce=lambda sec: print(f"TRAIN_S {sec:.9f}", flush=True))
         if dev_ms:
             print(f"TRAIN_DEVICE_MS {dev_ms:.6f}", flush=True)
     elif len(sys.argv) >= 3 and sys.argv[1] == "--flops-probe":

@@ -372,6 +372,36 @@ class TestBenchTrainProbe:
         # budget it must be the partial path
         assert "deadline_note" in rec["detail"]
 
+    def test_timed_out_child_headline_still_parsed(self, monkeypatch):
+        """A probe child killed at its timeout AFTER printing TRAIN_S
+        (it announces the headline before the optional device trace)
+        must still deliver the measurement — on this tunnel the compile
+        cache misses across sessions, so cold probes routinely brush
+        the budget."""
+        bench = self._bench()
+        import subprocess as sp
+
+        monkeypatch.setattr(
+            bench, "_run_child",
+            lambda *a, **k: sp.CompletedProcess(
+                a, -9, "TRAIN_S 0.0468\n", ""))
+        assert bench.measure_train(use_perc=True) == (0.0468, None)
+
+    def test_run_child_returns_partial_output_on_timeout(self):
+        """_run_child kills a too-slow child and returns rc=-9 with the
+        stdout produced so far instead of raising."""
+        import sys
+
+        bench = self._bench()
+        p = bench._run_child(
+            [sys.executable, "-c",
+             "import time,sys; print('TRAIN_S 0.5', flush=True); "
+             "time.sleep(60)"],
+            timeout=3.0)
+        assert p.returncode == -9
+        assert "TRAIN_S 0.5" in p.stdout
+        assert not bench._ACTIVE_CHILDREN
+
     def test_flops_cache_hits_per_revision(self, monkeypatch, tmp_path):
         """measure_flops re-traces only once per (clean) source revision
         — the ~3 min forced-CPU count must not be re-paid on every
