@@ -616,6 +616,14 @@ def main() -> None:
     # not erase this run's real on-chip record.
     _persist_last_good()
 
+    # --- STAGE 1b: model FLOPs -> MFU for the headline. Instant when
+    # the per-revision cache is seeded (the committed tree is the key),
+    # ~3 min in a forced-CPU child otherwise — either way it runs BEFORE
+    # the latency stage, whose cold compile can blow the remaining
+    # budget on a fresh tunnel session.
+    if _remaining() > 30.0:
+        detail["mfu_full_recipe"] = _mfu(measure_flops("perc"), train_s)
+
     # --- STAGE 2: inference latency 1x256x256x3, reference protocol
     # (20 warmup + 100 timed). Runs are CHAINED (each input is the
     # previous output) so the measurement reflects true serial latency
@@ -652,12 +660,6 @@ def main() -> None:
         except Exception as e:
             print(f"bench: latency stage failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-
-    # --- STAGE 2b: model FLOPs -> MFU for the headline (forced-CPU
-    # child, ~3 min cold, cached per clean git revision; pre-compile
-    # cost analysis is unsupported on the TPU plugin).
-    if _remaining() > 90.0:
-        detail["mfu_full_recipe"] = _mfu(measure_flops("perc"), train_s)
 
     # --- STAGE 3 (opt-in, $LLIE_BENCH_EXTRAS=1): variants. Each checks
     # the remaining budget; the emit below happens regardless.

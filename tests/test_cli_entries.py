@@ -396,8 +396,8 @@ class TestBenchTrainProbe:
         p = bench._run_child(
             [sys.executable, "-c",
              "import time,sys; print('TRAIN_S 0.5', flush=True); "
-             "time.sleep(60)"],
-            timeout=3.0)
+             "time.sleep(300)"],
+            timeout=20.0)  # generous: interpreter start under load
         assert p.returncode == -9
         assert "TRAIN_S 0.5" in p.stdout
         assert not bench._ACTIVE_CHILDREN
