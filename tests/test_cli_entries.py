@@ -200,6 +200,8 @@ class TestBenchTrainProbe:
 
     def test_flops_probe_result_is_parsed(self, monkeypatch):
         bench = self._bench()
+        # isolate from the repo's seeded per-revision FLOPs cache
+        monkeypatch.setattr(bench, "_flops_cache_key", lambda: None)
 
         class FakeProc:
             returncode = 0
@@ -212,6 +214,7 @@ class TestBenchTrainProbe:
 
     def test_flops_probe_failure_returns_none(self, monkeypatch):
         bench = self._bench()
+        monkeypatch.setattr(bench, "_flops_cache_key", lambda: None)
 
         def boom(*a, **k):
             raise OSError("spawn failed")
